@@ -1,0 +1,190 @@
+"""Split-KV flash-decode Pallas kernel for autoregressive decoding.
+
+TPU-native re-design of the reference's flash-decoding pipeline
+(``flash_attn_row`` + ``fa_reduce``, /root/reference/src/flash_row_float.h) —
+the batch≈1, one-query-token path where attention is a mat*vec* over the KV
+cache and the win comes from splitting KV across parallel units and merging
+partials with the associative LSE combine.
+
+Idiomatic choices (deliberately NOT translated from CUDA — SURVEY §7 "hard
+parts"):
+- The reference replicates the single query into a 16-row tile and reads
+  QK^T off the MMA accumulator diagonal, wasting 15/16 of each MMA
+  (flash_row_float.h:21-38,63-76). Here the GQA head *group* supplies the
+  sublane dimension instead: q [B, Hq, D] is viewed as [B, Hkv, G, D]
+  (G = Hq/Hkv query heads sharing one KV head), so QK^T is a dense
+  [G, D] x [D, bk] MXU matmul with zero waste, and GQA broadcast
+  (kernel_test.h:25-27,53) falls out of the layout for free.
+- The reference's grid = (kv_blocks, heads) map kernel emitting per-block
+  (O, M, S) to a "temporal buffer" + a sequential ``fa_reduce``
+  (flash_row_float.h:191-198,429-471, self-annotated "very slow!!"). Here:
+  split partials land in a [B, Hkv, n_splits, ...] output and the merge is
+  the pure ``lse_combine_stacked`` from ops/lse.py — vectorized over all
+  heads at once by XLA, not a serial loop.
+- Variable context lengths are masked in-kernel from an SMEM scalar
+  (``lengths``), with fully-out-of-range KV blocks skipped entirely — the
+  analog of the reference's -INF block skip.
+
+Layout: the KV cache last dim is head_dim (128 lanes) for both K and V, so
+QK^T contracts on lanes and P·V contracts on sublanes — no V transpose
+requirement (the reference needs V transposed-contiguous,
+flash_row_float.h:176-177; on TPU dot_general picks the contraction).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ggml_cuda_experiments_tpu.ops.lse import AttnPartial, lse_combine_stacked, lse_finalize
+from ggml_cuda_experiments_tpu.utils.platform import interpret_default
+
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _decode_kernel(len_ref, q_ref, k_ref, v_ref,
+                   o_ref, m_ref, s_ref,
+                   m_scr, l_scr, acc_scr, *,
+                   scale: float, bk: int, n_blocks: int):
+    """Grid (B, Hkv, n_splits, n_blocks); KV streamed over the last dim."""
+    sp, blk = pl.program_id(2), pl.program_id(3)
+    g, d = q_ref.shape[2], q_ref.shape[3]
+
+    @pl.when(blk == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    length = len_ref[0, 0]
+    base = (sp * n_blocks + blk) * bk
+
+    @pl.when(base < length)
+    def _compute():
+        q = q_ref[0, 0]                                   # [G, D]
+        k = k_ref[0, 0]                                   # [bk, D]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale                                          # [G, bk]
+        kpos = base + jax.lax.broadcasted_iota(jnp.int32, (g, bk), 1)
+        s = jnp.where(kpos < length, s, DEFAULT_MASK_VALUE)
+
+        m_prev, l_prev = m_scr[...], l_scr[...]            # [G, 128]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :1])
+        l_next = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[...] = m_next
+        l_scr[...] = l_next
+        acc_scr[...] *= alpha[:, :1]
+        v = v_ref[0, 0]                                    # [bk, D]
+        acc_scr[...] += jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+
+    @pl.when(blk == n_blocks - 1)
+    def _emit():
+        o_ref[0, 0, 0] = acc_scr[...]
+        m_ref[0, 0, 0] = m_scr[...]
+        s_ref[0, 0, 0] = l_scr[...]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "kv_splits", "block_k", "interpret"),
+)
+def flash_decode(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    lengths: jax.Array | None = None,
+    *,
+    scale: float | None = None,
+    kv_splits: int = 1,
+    block_k: int = 256,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Single-token attention against a KV cache, split-KV parallel.
+
+    q: [B, Hq, D] (the current token's query per sequence)
+    k, v: [B, Hkv, S, D] KV cache (S = allocated cache length)
+    lengths: [B] int32 valid prefix per sequence (defaults to S)
+    Returns O [B, Hq, D] in q's dtype.
+    """
+    B, Hq, D = q.shape
+    _, Hkv, S, _ = k.shape
+    assert Hq % Hkv == 0
+    G = Hq // Hkv
+    if scale is None:
+        scale = float(1.0 / D ** 0.5)
+    if lengths is None:
+        lengths = jnp.full((B,), S, jnp.int32)
+
+    bk = min(block_k, S)
+    assert S % bk == 0, f"cache length {S} must be a multiple of block_k {bk}"
+    total_blocks = S // bk
+    n_splits = min(kv_splits, total_blocks)
+    # distribute blocks over splits (last split may see only masked blocks)
+    n_blocks = -(-total_blocks // n_splits)
+    n_splits = -(-total_blocks // n_blocks)
+
+    qg = q.reshape(B, Hkv, G, D)
+    lengths2d = lengths.reshape(B, 1).astype(jnp.int32)
+
+    grid = (B, Hkv, n_splits, n_blocks)
+
+    # The tail split may index blocks past total_blocks; the in-kernel
+    # `base < length` guard skips the compute, but the BlockSpec would still
+    # DMA an out-of-bounds tile — clamp the index map instead.
+    def kv_index(b, h, sp, blk):
+        return (b, h, jnp.minimum(sp * n_blocks + blk, total_blocks - 1), 0)
+
+    o_part, m_part, s_part = pl.pallas_call(
+        functools.partial(_decode_kernel, scale=scale, bk=bk,
+                          n_blocks=n_blocks),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda b, h, sp, blk: (b, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, G, D), lambda b, h, sp, blk: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, bk, D), kv_index),
+            pl.BlockSpec((1, 1, bk, D), kv_index),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, 1, G, D), lambda b, h, sp, blk: (b, h, sp, 0, 0)),
+            pl.BlockSpec((1, 1, 1, G, 128), lambda b, h, sp, blk: (b, h, sp, 0, 0)),
+            pl.BlockSpec((1, 1, 1, G, 128), lambda b, h, sp, blk: (b, h, sp, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Hkv, n_splits, G, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hkv, n_splits, G, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hkv, n_splits, G, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((G, 128), jnp.float32),
+            pltpu.VMEM((G, 128), jnp.float32),
+            pltpu.VMEM((G, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Hq * S * D,
+            bytes_accessed=(k.size + v.size) * k.dtype.itemsize,
+            transcendentals=B * Hq * S,
+        ),
+        interpret=interpret_default(interpret),
+    )(lengths2d, qg, k, v)
+
+    # Phase 2 — fa_reduce analog: fold split partials with the LSE combine.
+    parts = AttnPartial(o=o_part, m=m_part[..., :1], s=s_part[..., :1])
+    merged = lse_combine_stacked(parts, axis=2)
+    out = lse_finalize(merged, out_dtype=q.dtype)          # [B, Hkv, G, D]
+    return out.reshape(B, Hq, D)

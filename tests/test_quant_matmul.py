@@ -1,0 +1,70 @@
+"""Fused dequant-matmul kernels vs the quantization oracle.
+
+The correctness contract: qmatmul (Pallas, fused dequant) == x @ dequant^T
+computed entirely by the NumPy oracle — dequantization must be bit-identical,
+so the only difference is matmul accumulation order (fp32, tiny)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ggml_cuda_experiments_tpu.oracle import quant as quant_ref
+from ggml_cuda_experiments_tpu.ops import quant_matmul as qm
+from ggml_cuda_experiments_tpu.utils.harness import assert_close
+
+FMTS = ["q8_0", "q4_0", "q4_k"]
+
+
+@pytest.mark.parametrize("fmt", FMTS)
+def test_device_dequant_matches_oracle(rng, fmt):
+    """dequantize_jnp must reproduce the oracle dequant bit-for-bit."""
+    w = rng.normal(size=(64, 512)).astype(np.float32)
+    t = quant_ref.FORMATS[fmt][0](w)
+    want = quant_ref.FORMATS[fmt][1](t)
+    ql = qm.from_oracle(t)
+    got = np.asarray(qm.dequantize_jnp(ql))
+    assert np.array_equal(got, want), f"{fmt} dequant mismatch"
+
+
+@pytest.mark.parametrize("fmt", FMTS)
+@pytest.mark.parametrize("batch", [1, 8])
+def test_qmatmul_fused(rng, fmt, batch):
+    n, k = 256, 1024
+    w = rng.normal(size=(n, k)).astype(np.float32)
+    x = rng.normal(size=(batch, k)).astype(np.float32)
+    t = quant_ref.FORMATS[fmt][0](w)
+    ql = qm.from_oracle(t)
+    want = x @ quant_ref.FORMATS[fmt][1](t).T
+    got = qm.qmatmul(jnp.asarray(x), ql, block_n=128)
+    assert_close(got, want, atol=5e-3, rtol=5e-3, name=f"qmatmul {fmt} B={batch}")
+
+
+@pytest.mark.parametrize("fmt", FMTS)
+def test_qmatmul_xla_baseline(rng, fmt):
+    n, k = 128, 512
+    w = rng.normal(size=(n, k)).astype(np.float32)
+    x = rng.normal(size=(4, k)).astype(np.float32)
+    t = quant_ref.FORMATS[fmt][0](w)
+    ql = qm.from_oracle(t)
+    want = x @ quant_ref.FORMATS[fmt][1](t).T
+    got = qm.qmatmul_xla(jnp.asarray(x), ql)
+    assert_close(got, want, atol=5e-3, rtol=5e-3, name=f"qmatmul_xla {fmt}")
+
+
+def test_qmatmul_unaligned_n(rng):
+    """N not a multiple of block_n exercises the row-padding path."""
+    n, k = 320, 512
+    w = rng.normal(size=(n, k)).astype(np.float32)
+    x = rng.normal(size=(2, k)).astype(np.float32)
+    t = quant_ref.quantize_q8_0(w)
+    ql = qm.from_oracle(t)
+    want = x @ quant_ref.dequantize_q8_0(t).T
+    got = qm.qmatmul(jnp.asarray(x), ql, block_n=256)
+    assert_close(got, want, atol=5e-3, rtol=5e-3, name="qmatmul unaligned N")
+
+
+def test_nbytes_counts_packed_nibbles(rng):
+    w = rng.normal(size=(64, 512)).astype(np.float32)
+    ql = qm.quantize(w, "q4_0")
+    # 4 bits/weight + f32 scale per 32
+    assert ql.nbytes == 64 * 512 // 2 + 64 * (512 // 32) * 4
