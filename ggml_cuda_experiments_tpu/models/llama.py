@@ -1,0 +1,297 @@
+"""Llama-family model: functional forward pass + KV-cached decode engine.
+
+The end-to-end slice of SURVEY §7: quantized linears (fused dequant matvec),
+RoPE, RMSNorm, flash-attention prefill, split-KV flash decode — everything
+jit-compiled, static shapes, cache donated across steps. The reference has no
+model layer (it tests kernels against llama.cpp *dumps*,
+/root/reference/src/flash-matrix.cu:69-73); this module is what turns the
+kernel engine into an inference engine (BASELINE.json configs 2-5).
+
+Weights are a pytree dict whose linear leaves are either dense ``jax.Array``
+[N, K] (output-major) or ``QuantLinear`` (Q8_0/Q4_0/Q4_K); dispatch happens
+per-call, so mixed-precision models (quantized matmuls, bf16 norms/embed)
+are just trees.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ggml_cuda_experiments_tpu.models.config import ModelConfig
+from ggml_cuda_experiments_tpu.ops.flash_attention import flash_attention
+from ggml_cuda_experiments_tpu.ops.flash_decode import flash_decode
+from ggml_cuda_experiments_tpu.ops.quant_matmul import (
+    QuantLinear, qmatmul, qmatmul_xla, quantize,
+)
+
+Params = dict[str, Any]
+
+# below this batch*seq size the fused-dequant streaming kernel wins; above,
+# XLA's dequant+matmul (MXU-bound) is better
+_QMATVEC_MAX_ROWS = 32
+
+
+def apply_linear(x: jax.Array, w) -> jax.Array:
+    """y = x @ W^T for dense [N, K] or QuantLinear weights; x: [..., K]."""
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    if isinstance(w, QuantLinear):
+        if x2.shape[0] <= _QMATVEC_MAX_ROWS:
+            y = qmatmul(x2, w)
+        else:
+            y = qmatmul_xla(x2, w)
+    else:
+        y = jax.lax.dot_general(
+            x2.astype(w.dtype), w,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+    return y.reshape(*lead, -1)
+
+
+def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
+
+
+def rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
+    """Rotary embedding, rotate-half (HF Llama) convention.
+
+    x: [B, T, H, D]; positions: [B, T] int32.
+    """
+    d = x.shape[-1]
+    freqs = theta ** (-jnp.arange(0, d // 2, dtype=jnp.float32) / (d // 2))
+    ang = positions.astype(jnp.float32)[..., None] * freqs     # [B, T, D/2]
+    cos = jnp.cos(ang)[:, :, None, :]
+    sin = jnp.sin(ang)[:, :, None, :]
+    x1, x2 = x[..., : d // 2], x[..., d // 2:]
+    xf1, xf2 = x1.astype(jnp.float32), x2.astype(jnp.float32)
+    return jnp.concatenate(
+        [xf1 * cos - xf2 * sin, xf2 * cos + xf1 * sin], axis=-1
+    ).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# KV cache
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class KVCache:
+    """Contiguous per-layer KV cache (paged variant in ops/paged_attention).
+
+    k, v: [n_layers, B, Hkv, S, D]; lengths: [B] valid prefix length.
+    """
+    k: jax.Array
+    v: jax.Array
+    lengths: jax.Array
+
+    @staticmethod
+    def create(cfg: ModelConfig, batch: int, max_len: int,
+               dtype=jnp.bfloat16) -> "KVCache":
+        shape = (cfg.n_layers, batch, cfg.n_kv_heads, max_len, cfg.head_dim)
+        return KVCache(
+            k=jnp.zeros(shape, dtype),
+            v=jnp.zeros(shape, dtype),
+            lengths=jnp.zeros((batch,), jnp.int32),
+        )
+
+
+def _write_cache(cache_kl: jax.Array, new: jax.Array, pos: jax.Array
+                 ) -> jax.Array:
+    """Insert new [B, Hkv, T, D] at per-sequence positions into [B, Hkv, S, D]."""
+    def one(c, n, p):
+        return jax.lax.dynamic_update_slice(c, n.astype(c.dtype), (0, p, 0))
+    return jax.vmap(one)(cache_kl, new, pos)
+
+
+# ---------------------------------------------------------------------------
+# transformer blocks
+# ---------------------------------------------------------------------------
+
+def _attention_block(layer: Params, cfg: ModelConfig, h: jax.Array,
+                     cache_k, cache_v, lengths, positions, *, decode: bool):
+    """Shared attention block; returns (attn_out, new_k, new_v)."""
+    B, T, _ = h.shape
+    Hq, Hkv, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+
+    x = rms_norm(h, layer["attn_norm"], cfg.rms_eps)
+    q = apply_linear(x, layer["wq"]).reshape(B, T, Hq, D)
+    k = apply_linear(x, layer["wk"]).reshape(B, T, Hkv, D)
+    v = apply_linear(x, layer["wv"]).reshape(B, T, Hkv, D)
+    q = rope(q, positions, cfg.rope_theta)
+    k = rope(k, positions, cfg.rope_theta)
+
+    k_cached = _write_cache(cache_k, k.transpose(0, 2, 1, 3),
+                            positions[:, 0])
+    v_cached = _write_cache(cache_v, v.transpose(0, 2, 1, 3),
+                            positions[:, 0])
+
+    if decode:
+        o = flash_decode(
+            q[:, 0],                       # [B, Hq, D]
+            k_cached, v_cached, lengths + 1,
+        )[:, None]                         # [B, 1, Hq, D]
+    else:
+        # prefill: attend over the just-written prefix (queries are the
+        # last T positions of a T-long context)
+        o = flash_attention(
+            q.transpose(0, 2, 1, 3),
+            k_cached[:, :, :T], v_cached[:, :, :T],
+            causal=True,
+        ).transpose(0, 2, 1, 3)            # [B, T, Hq, D]
+
+    o = o.reshape(B, T, Hq * D).astype(h.dtype)
+    return apply_linear(o, layer["wo"]), k_cached, v_cached
+
+
+def _mlp_block(layer: Params, cfg: ModelConfig, h: jax.Array) -> jax.Array:
+    x = rms_norm(h, layer["mlp_norm"], cfg.rms_eps)
+    gate = apply_linear(x, layer["w_gate"])
+    up = apply_linear(x, layer["w_up"])
+    return apply_linear(jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype)
+                        * up, layer["w_down"])
+
+
+def _forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
+             cache: KVCache, positions: jax.Array, *, decode: bool
+             ) -> tuple[jax.Array, KVCache]:
+    h = params["embed"][tokens]            # [B, T, dim]
+    new_k, new_v = [], []
+    for li, layer in enumerate(params["layers"]):
+        attn, ck, cv = _attention_block(
+            layer, cfg, h, cache.k[li], cache.v[li], cache.lengths,
+            positions, decode=decode)
+        new_k.append(ck)
+        new_v.append(cv)
+        h = h + attn
+        h = h + _mlp_block(layer, cfg, h)
+    h = rms_norm(h, params["final_norm"], cfg.rms_eps)
+    logits = apply_linear(h[:, -1], params["lm_head"])   # [B, vocab]
+    new_cache = KVCache(
+        k=jnp.stack(new_k), v=jnp.stack(new_v),
+        lengths=cache.lengths + tokens.shape[1],
+    )
+    return logits.astype(jnp.float32), new_cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def prefill(params: Params, cfg: ModelConfig, tokens: jax.Array,
+            cache: KVCache) -> tuple[jax.Array, KVCache]:
+    """Process a prompt [B, T] (T padded to the flash block size by caller);
+    returns last-position logits and the filled cache."""
+    B, T = tokens.shape
+    positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
+    return _forward(params, cfg, tokens, cache, positions, decode=False)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
+def decode_step(params: Params, cfg: ModelConfig, tokens: jax.Array,
+                cache: KVCache) -> tuple[jax.Array, KVCache]:
+    """One decode step: tokens [B] -> logits [B, vocab]; cache donated."""
+    positions = cache.lengths[:, None]
+    return _forward(params, cfg, tokens[:, None], cache, positions,
+                    decode=True)
+
+
+def generate(params: Params, cfg: ModelConfig, prompt: jax.Array,
+             steps: int, cache: KVCache | None = None) -> np.ndarray:
+    """Greedy generation (host loop over a jitted, cache-donating step)."""
+    B, T = prompt.shape
+    if cache is None:
+        max_len = _round_up(T + steps, 256)
+        cache = KVCache.create(cfg, B, max_len)
+    logits, cache = prefill(params, cfg, prompt, cache)
+    out = []
+    tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    for _ in range(steps):
+        out.append(tok)
+        logits, cache = decode_step(params, cfg, tok, cache)
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return np.stack([np.asarray(t) for t in out], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "steps"))
+def generate_scan(params: Params, cfg: ModelConfig, prompt: jax.Array,
+                  cache: KVCache, steps: int) -> jax.Array:
+    """Fully-jitted greedy generation via lax.scan (benchmark path)."""
+    logits, cache = prefill(params, cfg, prompt, cache)
+    tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    def body(carry, _):
+        tok, cache = carry
+        logits, cache = decode_step(params, cfg, tok, cache)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (nxt, cache), tok
+
+    (_, _), toks = jax.lax.scan(body, (tok0, cache), None, length=steps)
+    return toks.T                           # [B, steps]
+
+
+# ---------------------------------------------------------------------------
+# weight creation / quantization
+# ---------------------------------------------------------------------------
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def init_weights(cfg: ModelConfig, seed: int = 0, dtype=jnp.bfloat16
+                 ) -> Params:
+    """Random-init weights (scaled normal), dense. Use ``quantize_params``
+    or the weight loader (utils/loader.py) for quantized models."""
+    rng = np.random.default_rng(seed)
+    d, hd = cfg.dim, cfg.head_dim
+
+    def lin(n, k):
+        return jnp.asarray(
+            rng.normal(size=(n, k)).astype(np.float32) / np.sqrt(k), dtype)
+
+    layers = []
+    for _ in range(cfg.n_layers):
+        layers.append({
+            "wq": lin(cfg.n_heads * hd, d),
+            "wk": lin(cfg.n_kv_heads * hd, d),
+            "wv": lin(cfg.n_kv_heads * hd, d),
+            "wo": lin(d, cfg.n_heads * hd),
+            "w_gate": lin(cfg.intermediate, d),
+            "w_up": lin(cfg.intermediate, d),
+            "w_down": lin(d, cfg.intermediate),
+            "attn_norm": jnp.ones((d,), dtype),
+            "mlp_norm": jnp.ones((d,), dtype),
+        })
+    return {
+        "embed": jnp.asarray(
+            rng.normal(size=(cfg.vocab_size, d)).astype(np.float32) * 0.02,
+            dtype),
+        "layers": layers,
+        "final_norm": jnp.ones((d,), dtype),
+        "lm_head": lin(cfg.vocab_size, d),
+    }
+
+
+_LINEAR_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+
+
+def quantize_params(params: Params, fmt: str, *, quantize_head: bool = True
+                    ) -> Params:
+    """Quantize every big linear to ``fmt`` (embed/norms stay dense)."""
+    out = dict(params)
+    out["layers"] = []
+    for layer in params["layers"]:
+        ql = dict(layer)
+        for key in _LINEAR_KEYS:
+            w = np.asarray(layer[key], np.float32)
+            ql[key] = quantize(w, fmt)
+        out["layers"].append(ql)
+    if quantize_head:
+        out["lm_head"] = quantize(np.asarray(params["lm_head"], np.float32),
+                                  fmt)
+    return out

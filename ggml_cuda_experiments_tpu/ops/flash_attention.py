@@ -73,9 +73,13 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
     def _compute():
         q = q_ref[0, 0]                                      # [bq, d]
         k = k_ref[0, 0]                                      # [bk, d]
+        # f32 inputs get full-precision MXU passes (default silently rounds
+        # to bf16); bf16 inputs use the native path
+        prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT)
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=prec,
         )
         s *= scale
 
@@ -99,7 +103,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
             acc_ref[...] *= alpha[:, :1]
             v = v_ref[0, 0]                                  # [bk, d]
             acc_ref[...] += jax.lax.dot(
-                p.astype(v.dtype), v, preferred_element_type=jnp.float32
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32,
+                precision=prec,
             )
 
         if has_mask:

@@ -67,9 +67,11 @@ def _decode_kernel(len_ref, q_ref, k_ref, v_ref,
     def _compute():
         q = q_ref[0, 0]                                   # [G, D]
         k = k_ref[0, 0]                                   # [bk, D]
+        prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT)
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=prec,
         ) * scale                                          # [G, bk]
         kpos = base + jax.lax.broadcasted_iota(jnp.int32, (g, bk), 1)
         s = jnp.where(kpos < length, s, DEFAULT_MASK_VALUE)
@@ -85,7 +87,8 @@ def _decode_kernel(len_ref, q_ref, k_ref, v_ref,
         acc_scr[...] *= alpha[:, :1]
         v = v_ref[0, 0]                                    # [bk, D]
         acc_scr[...] += jax.lax.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32,
+            precision=prec,
         )
 
     @pl.when(blk == n_blocks - 1)

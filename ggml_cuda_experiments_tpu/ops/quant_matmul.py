@@ -9,30 +9,50 @@ follows the reference's WMMA GEMM structure (one output tile per grid step,
 operands pipelined HBM→VMEM, /root/reference/src/misc/tensor-core.cu:87-178)
 re-expressed for the MXU.
 
-Design (TPU-first):
-- Weights are stored output-major [N, K] (as GGML does) in *planar* device
-  arrays: 4-bit payloads use the native ``jnp.uint4`` dtype (XLA packs two
-  per byte in HBM), scales/mins are separate small arrays. No interleaved
-  structs, no nibble shuffles: ``uint4 -> f32`` is a hardware-supported cast.
-- Decode matvec (B ≤ 32): the whole K dimension is one block — a single
-  MXU dot per output tile; the grid runs over N only, so Mosaic's automatic
-  double-buffering streams the weight tiles at full HBM bandwidth while the
-  (tiny) activation stays resident in VMEM.
-- Per-32-block scales are expanded in-kernel on the VPU via a
-  [bn, K/32, 32]-shaped broadcast (reshape of the lane dimension), the
-  direct analog of the reference's diagonal-scale-matrix trick for fusing
-  the softmax scale (/root/reference/src/flash-llama.h:153-158) — fuse the
-  cheap elementwise work into the operand stream, never a second pass.
-- Large-batch prefill: ``qmatmul_xla`` dequantizes via XLA (one fused
-  dequant+matmul, compute-bound on the MXU) — at large B the matmul is
-  FLOP-bound and the Pallas streaming design buys nothing.
+TPU-first layout: the "interleaved" column order
+------------------------------------------------
+Mosaic (the Pallas TPU compiler) has no consecutive-element expand — you
+cannot broadcast a per-32-block scale row [K/32] to [K] in-kernel (verified:
+``broadcast_to + reshape`` and ``jnp.repeat`` both fail to lower). What it
+*does* have is ``pltpu.repeat`` — a cheap whole-row **tile**-repeat
+(``[a b c] -> [a b c a b c]``). So the weight columns are stored permuted so
+that tile-repeat IS the correct scale expansion:
+
+    device lane j  <->  logical element e = super*256 + pos8*32 + pos32
+    where  pos32 = j // (K/32),  pos8 = (j % (K/32)) // (K/256),
+           super = j % (K/256)
+
+i.e. a hierarchical (K/256, 8, 32) -> (32, 8, K/256) transpose. Under this
+order, the scale of device lane j is ``d_dev[j mod K/32]`` — exactly the
+pattern ``pltpu.repeat(d_dev, 32)`` produces — and Q4_K's superblock scale
+is ``d[j mod K/256]`` — exactly ``pltpu.repeat(d, 8)`` at the scale level.
+The contraction is permutation-invariant, so activations are permuted with
+one reshape/transpose (``permute_activations``) before the kernel — a few KB
+for decode batches, fused by XLA.
+
+Q4 nibble packing: byte i holds device lanes i (low nibble) and i + K/2
+(high nibble). The two lanes differ only in pos32 (by 16), so they share a
+scale block, and the matvec needs **no unpack interleave at all**:
+
+    y = x_lo @ (lo * s).T + x_hi @ (hi * s).T      (two MXU dots)
+
+where lo/hi are two bitwise ops on the streamed bytes (the analog of the
+reference keeping V transposed-contiguous so the hot loop needs no layout
+fixups, /root/reference/src/flash_row_float.h:176-177 — pick the storage
+layout the kernel wants, once, at load time).
+
+Decode matvec (B ≤ 32): the whole K dimension is one block — a single MXU
+dot per output tile; the grid runs over N only, so Mosaic's automatic
+double-buffering streams the weight tiles at full HBM bandwidth while the
+(tiny) activation stays resident in VMEM. Large-batch prefill uses
+``qmatmul_xla`` (XLA dequant+matmul, MXU-bound — streaming buys nothing
+there).
 """
 
 from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -43,19 +63,60 @@ from jax.experimental.pallas import tpu as pltpu
 from ggml_cuda_experiments_tpu.oracle import quant as quant_ref
 from ggml_cuda_experiments_tpu.utils.platform import interpret_default
 
-QK = quant_ref.QK
-QK_K = quant_ref.QK_K
+QK = quant_ref.QK            # 32
+QK_K = quant_ref.QK_K        # 256
 
+
+# ---------------------------------------------------------------------------
+# interleaved column order
+# ---------------------------------------------------------------------------
+
+@functools.cache
+def _perm(k: int) -> np.ndarray:
+    """perm[j] = logical element index stored at device lane j."""
+    assert k % QK_K == 0, f"K={k} must be a multiple of {QK_K}"
+    ks = k // QK_K
+    return (np.arange(k).reshape(ks, 8, QK)     # [super, pos8, pos32]
+            .transpose(2, 1, 0).reshape(k))     # j = pos32, pos8, super
+
+
+@functools.cache
+def _perm32(k: int) -> np.ndarray:
+    """Per-32-block scale lane order: perm32[r] = logical block index."""
+    ks = k // QK_K
+    return (np.arange(k // QK).reshape(ks, 8)   # [super, pos8]
+            .transpose(1, 0).reshape(k // QK))
+
+
+@functools.cache
+def _inv_perm(k: int) -> np.ndarray:
+    return np.argsort(_perm(k))
+
+
+def permute_activations(x: jax.Array) -> jax.Array:
+    """Reorder x [..., K] into the interleaved column order (one transpose)."""
+    *lead, k = x.shape
+    ks = k // QK_K
+    return (x.reshape(*lead, ks, 8, QK)
+            .transpose(*range(len(lead)), len(lead) + 2, len(lead) + 1,
+                       len(lead))
+            .reshape(*lead, k))
+
+
+# ---------------------------------------------------------------------------
+# device container
+# ---------------------------------------------------------------------------
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class QuantLinear:
-    """Device-side quantized weight W [N, K] (output-major, like GGML).
+    """Device-side quantized weight W [N, K] (output-major, like GGML),
+    stored in the interleaved column order.
 
-    fields present per format:
-      q8_0: qs int8  [N, K],     d f32 [N, K/32]
-      q4_0: qs uint4 [N, K],     d f32 [N, K/32]          (q - 8 at dequant)
-      q4_k: qs uint4 [N, K],     sc u8 [N, K/32], mn u8 [N, K/32],
+    fields per format (all column-permuted):
+      q8_0: qs int8  [N, K],    d f32 [N, K/32]
+      q4_0: qs uint8 [N, K/2],  d f32 [N, K/32]            (q - 8 at dequant)
+      q4_k: qs uint8 [N, K/2],  sc u8 [N, K/32], mn u8 [N, K/32],
             d f32 [N, K/256], dmin f32 [N, K/256]
     """
 
@@ -69,117 +130,134 @@ class QuantLinear:
 
     @property
     def nbytes(self) -> int:
-        total = 0
-        for f in (self.qs, self.d, self.sc, self.mn, self.dmin):
-            if f is not None:
-                bits = 4 if f.dtype in (jnp.int4, jnp.uint4) else f.dtype.itemsize * 8
-                total += f.size * bits // 8
-        return total
+        return sum(f.size * f.dtype.itemsize
+                   for f in (self.qs, self.d, self.sc, self.mn, self.dmin)
+                   if f is not None)
+
+
+def _pack_halves(q_dev: np.ndarray) -> np.ndarray:
+    """[N, K] nibble values (0..15) -> [N, K/2] bytes: lane i | lane i+K/2."""
+    k = q_dev.shape[-1]
+    lo = q_dev[:, : k // 2].astype(np.uint8)
+    hi = q_dev[:, k // 2:].astype(np.uint8)
+    return lo | (hi << 4)
 
 
 def from_oracle(t) -> QuantLinear:
-    """Convert an oracle-quantized tensor (NumPy planar) to device arrays."""
+    """Convert an oracle-quantized tensor (logical planar NumPy layout) to
+    interleaved device arrays."""
     n, k = t.shape
+    p, p32 = _perm(k), _perm32(k)
     if isinstance(t, quant_ref.Q8_0):
-        return QuantLinear(fmt="q8_0", shape=(n, k),
-                           qs=jnp.asarray(t.qs), d=jnp.asarray(t.d))
+        return QuantLinear(
+            fmt="q8_0", shape=(n, k),
+            qs=jnp.asarray(t.qs[:, p]),
+            d=jnp.asarray(t.d[:, p32]))
     if isinstance(t, quant_ref.Q4_0):
-        q = quant_ref.unpack_nibbles(t.qs.reshape(n, k // QK, QK // 2))
-        return QuantLinear(fmt="q4_0", shape=(n, k),
-                           qs=jnp.asarray(q.reshape(n, k), jnp.uint4),
-                           d=jnp.asarray(t.d))
+        q = quant_ref.unpack_nibbles(
+            t.qs.reshape(n, k // QK, QK // 2)).reshape(n, k)
+        return QuantLinear(
+            fmt="q4_0", shape=(n, k),
+            qs=jnp.asarray(_pack_halves(q[:, p])),
+            d=jnp.asarray(t.d[:, p32]))
     if isinstance(t, quant_ref.Q4_K):
-        q = quant_ref.unpack_nibbles(t.qs.reshape(n, k // QK, QK // 2))
-        return QuantLinear(fmt="q4_k", shape=(n, k),
-                           qs=jnp.asarray(q.reshape(n, k), jnp.uint4),
-                           d=jnp.asarray(t.d), sc=jnp.asarray(t.sc),
-                           mn=jnp.asarray(t.mn), dmin=jnp.asarray(t.dmin))
+        q = quant_ref.unpack_nibbles(
+            t.qs.reshape(n, k // QK, QK // 2)).reshape(n, k)
+        return QuantLinear(
+            fmt="q4_k", shape=(n, k),
+            qs=jnp.asarray(_pack_halves(q[:, p])),
+            sc=jnp.asarray(t.sc[:, p32]),
+            mn=jnp.asarray(t.mn[:, p32]),
+            d=jnp.asarray(t.d),               # per-256: natural order
+            dmin=jnp.asarray(t.dmin))
     raise TypeError(f"unsupported oracle tensor {type(t)}")
 
 
 def quantize(w: np.ndarray, fmt: str) -> QuantLinear:
-    """Quantize a float [N, K] weight to device arrays via the oracle."""
+    """Quantize a float [N, K] weight via the oracle into device arrays."""
     return from_oracle(quant_ref.FORMATS[fmt][0](np.asarray(w)))
 
 
 # ---------------------------------------------------------------------------
-# scale expansion (shared between XLA path and kernels)
+# in-kernel dequant (permuted space); `rep` = tile-repeat implementation
 # ---------------------------------------------------------------------------
 
-def _expand_blockwise(v: jax.Array, n: int, k: int, block: int) -> jax.Array:
-    """[n, k/block] -> [n, k] by repeating each entry `block` times on lanes."""
-    return jnp.broadcast_to(v[:, :, None], (n, k // block, block)).reshape(n, k)
-
-
-def _dequant_tile(fmt: str, refs: dict[str, Any], out_dtype) -> jax.Array:
-    """Dequantize one [bn, bk] weight tile from its planar refs/arrays."""
-    qs = refs["qs"][...]
-    bn, bk = qs.shape
+def _dequant_halves(fmt: str, refs, rep):
+    """Return (w_lo, w_hi) [bn, K/2] f32 dequantized weight halves (q4_*),
+    or (w, None) for q8_0."""
     if fmt == "q8_0":
-        w = qs.astype(jnp.float32) * _expand_blockwise(refs["d"][...], bn, bk, QK)
-    elif fmt == "q4_0":
-        w = (qs.astype(jnp.float32) - 8.0) * _expand_blockwise(
-            refs["d"][...], bn, bk, QK)
-    elif fmt == "q4_k":
-        d = refs["d"][...]
-        dmin = refs["dmin"][...]
-        sc = refs["sc"][...].astype(jnp.float32)
-        mn = refs["mn"][...].astype(jnp.float32)
-        eff_scale = _expand_blockwise(d, bn, bk // QK, QK_K // QK) * sc
-        eff_min = _expand_blockwise(dmin, bn, bk // QK, QK_K // QK) * mn
-        w = (qs.astype(jnp.float32) * _expand_blockwise(eff_scale, bn, bk, QK)
-             - _expand_blockwise(eff_min, bn, bk, QK))
-    else:
-        raise ValueError(fmt)
-    return w.astype(out_dtype)
+        qs = refs["qs"][...]
+        bn, k = qs.shape
+        w = qs.astype(jnp.float32) * rep(refs["d"][...], QK)
+        return w, None
+
+    packed = refs["qs"][...].astype(jnp.int32)        # [bn, K/2]
+    lo = (packed & 0xF).astype(jnp.float32)
+    hi = (packed >> 4).astype(jnp.float32)
+    if fmt == "q4_0":
+        s_half = rep(refs["d"][...], QK // 2)         # [bn, K/2]
+        return (lo - 8.0) * s_half, (hi - 8.0) * s_half
+    if fmt == "q4_k":
+        # uint8 -> f32 is not a supported Mosaic cast; go through int32
+        sc = refs["sc"][...].astype(jnp.int32).astype(jnp.float32)
+        mn = refs["mn"][...].astype(jnp.int32).astype(jnp.float32)
+        eff_s = rep(refs["d"][...], 8) * sc           # [bn, K/32]
+        eff_m = rep(refs["dmin"][...], 8) * mn
+        s_half = rep(eff_s, QK // 2)                  # [bn, K/2]
+        m_half = rep(eff_m, QK // 2)
+        return lo * s_half - m_half, hi * s_half - m_half
+    raise ValueError(fmt)
 
 
 _FIELDS = {
     "q8_0": ("qs", "d"),
     "q4_0": ("qs", "d"),
-    "q4_k": ("qs", "d", "sc", "mn", "dmin"),
+    "q4_k": ("qs", "sc", "mn", "d", "dmin"),
+}
+
+# lanes per row of each field, as a divisor of K
+_LANE_DIV = {
+    "q8_0": {"qs": 1, "d": QK},
+    "q4_0": {"qs": 2, "d": QK},
+    "q4_k": {"qs": 2, "sc": QK, "mn": QK, "d": QK_K, "dmin": QK_K},
 }
 
 
-def dequantize_jnp(ql: QuantLinear, dtype=jnp.float32) -> jax.Array:
-    """XLA-only dequantization to a dense [N, K] array (baseline/oracle)."""
-    refs = {f: getattr(ql, f) for f in _FIELDS[ql.fmt]}
-    return _dequant_tile(ql.fmt, refs, dtype)
+def _mosaic_rep(v, times):
+    return pltpu.repeat(v, times, axis=1)
 
 
-# ---------------------------------------------------------------------------
-# fused Pallas kernel
-# ---------------------------------------------------------------------------
+def _xla_rep(v, times):
+    return jnp.tile(v, (1, times))
+
 
 def _qmatmul_kernel(*refs, fmt: str, compute_dtype):
-    """Grid (n,): out[:, n] = x @ dequant(W[n])^T — one MXU dot per tile."""
-    field_names = _FIELDS[fmt]
+    """Grid (n,): out = x_perm @ dequant(W_tile)^T — 1-2 MXU dots per tile."""
+    names = _FIELDS[fmt]
     x_ref = refs[0]
-    w_refs = dict(zip(field_names, refs[1:1 + len(field_names)]))
-    o_ref = refs[1 + len(field_names)]
+    w_refs = dict(zip(names, refs[1:1 + len(names)]))
+    o_ref = refs[1 + len(names)]
 
-    w = _dequant_tile(fmt, w_refs, compute_dtype)          # [bn, K]
-    x = x_ref[...].astype(compute_dtype)                   # [B, K]
-    o_ref[...] = jax.lax.dot_general(
-        x, w,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(o_ref.dtype)
-
-
-# per-format scale granularities for BlockSpec construction
-_GRAN = {
-    "qs": 1, "d": None, "sc": QK, "mn": QK, "dmin": None,
-}
-
-
-def _field_granularity(fmt: str, field: str) -> int:
-    if field == "qs":
-        return 1
-    if field in ("sc", "mn"):
-        return QK
-    # d / dmin
-    return QK if fmt in ("q8_0", "q4_0") else QK_K
+    w_lo, w_hi = _dequant_halves(fmt, w_refs, _mosaic_rep)
+    x = x_ref[...].astype(compute_dtype)                     # [B, K]
+    dims = (((1,), (1,)), ((), ()))
+    # full f32 MXU passes when compute is f32 (default would silently round
+    # operands to bf16); the extra passes hide under the weight-stream DMA
+    prec = (jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    if w_hi is None:
+        acc = jax.lax.dot_general(
+            x, w_lo.astype(compute_dtype), dims,
+            preferred_element_type=jnp.float32, precision=prec)
+    else:
+        kh = w_lo.shape[1]
+        acc = jax.lax.dot_general(
+            x[:, :kh], w_lo.astype(compute_dtype), dims,
+            preferred_element_type=jnp.float32, precision=prec)
+        acc += jax.lax.dot_general(
+            x[:, kh:], w_hi.astype(compute_dtype), dims,
+            preferred_element_type=jnp.float32, precision=prec)
+    o_ref[...] = acc.astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -198,7 +276,7 @@ def qmatmul(
     """y[B, N] = x[B, K] @ dequant(W[N, K])^T, dequant fused in-kernel.
 
     The memory-bound decode path: weights stream HBM→VMEM once, activations
-    stay resident. B is padded to the f32 sublane minimum (8).
+    stay resident. x is in *logical* order (permutation handled here).
     """
     N, K = ql.shape
     B = x.shape[0]
@@ -206,25 +284,23 @@ def qmatmul(
     if out_dtype is None:
         out_dtype = x.dtype
 
+    xp = permute_activations(x)
     Bp = max(8, -(-B // 8) * 8)
     if Bp != B:
-        x = jnp.pad(x, ((0, Bp - B), (0, 0)))
+        xp = jnp.pad(xp, ((0, Bp - B), (0, 0)))
     bn = min(block_n, N)
     Np = -(-N // bn) * bn
     fields = _FIELDS[ql.fmt]
 
-    def pad_rows(a, rows):
-        return jnp.pad(a, ((0, rows - a.shape[0]), (0, 0))) if a.shape[0] != rows else a
+    def pad_rows(a):
+        return (jnp.pad(a, ((0, Np - a.shape[0]), (0, 0)))
+                if a.shape[0] != Np else a)
 
-    arrays = []
-    in_specs = [pl.BlockSpec((Bp, K), lambda n: (0, 0))]          # x
+    arrays = [pad_rows(getattr(ql, f)) for f in fields]
+    in_specs = [pl.BlockSpec((Bp, K), lambda n: (0, 0))]
     for f in fields:
-        a = pad_rows(getattr(ql, f), Np)
-        gran = _field_granularity(ql.fmt, f)
-        arrays.append(a)
-        in_specs.append(
-            pl.BlockSpec((bn, K // gran), lambda n: (n, 0))
-        )
+        div = _LANE_DIV[ql.fmt][f]
+        in_specs.append(pl.BlockSpec((bn, K // div), lambda n: (n, 0)))
 
     out = pl.pallas_call(
         functools.partial(_qmatmul_kernel, fmt=ql.fmt,
@@ -238,14 +314,32 @@ def qmatmul(
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * Bp * Np * K,
-            bytes_accessed=sum(a.size * (4 if a.dtype in (jnp.int4, jnp.uint4)
-                                         else a.dtype.itemsize * 8) // 8
-                               for a in arrays) + Bp * K * 4 + Bp * Np * 4,
+            bytes_accessed=sum(a.size * a.dtype.itemsize for a in arrays)
+            + Bp * K * 4 + Bp * Np * 4,
             transcendentals=0,
         ),
         interpret=interpret_default(interpret),
-    )(x, *arrays)
+    )(xp, *arrays)
     return out[:B, :N]
+
+
+# ---------------------------------------------------------------------------
+# XLA baselines
+# ---------------------------------------------------------------------------
+
+def dequantize_jnp(ql: QuantLinear, dtype=jnp.float32) -> jax.Array:
+    """XLA-only dequantization to a dense *logical-order* [N, K] array."""
+    refs = {f: getattr(ql, f) for f in _FIELDS[ql.fmt]}
+
+    class _A:  # adapt arrays to the ref[...] protocol used by the kernel
+        def __init__(self, a): self.a = a
+        def __getitem__(self, idx): return self.a
+
+    w_lo, w_hi = _dequant_halves(ql.fmt, {k: _A(v) for k, v in refs.items()},
+                                 _xla_rep)
+    wp = w_lo if w_hi is None else jnp.concatenate([w_lo, w_hi], axis=1)
+    inv = jnp.asarray(_inv_perm(ql.shape[1]))
+    return wp[:, inv].astype(dtype)
 
 
 def qmatmul_xla(x: jax.Array, ql: QuantLinear, compute_dtype=jnp.float32

@@ -1,0 +1,89 @@
+"""End-to-end model tests (debug-sized Llama): cache-path consistency,
+quantized-weight decode, scan-vs-host-loop generation equivalence."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ggml_cuda_experiments_tpu.models.config import PRESETS
+from ggml_cuda_experiments_tpu.models import llama
+from ggml_cuda_experiments_tpu.utils.harness import assert_close
+
+CFG = PRESETS["debug"]
+
+
+@pytest.fixture(scope="module")
+def params():
+    return llama.init_weights(CFG, seed=3)
+
+
+def _prompt(rng, b, t):
+    return jnp.asarray(rng.integers(0, CFG.vocab_size, size=(b, t)),
+                       jnp.int32)
+
+
+def test_decode_matches_prefill(params, rng):
+    """logits(prefill [t0..tN]) == logits(prefill [t0..tN-1] + decode tN):
+    the KV-cache path and the full-attention path must agree — this pins
+    flash_decode, cache writes, RoPE positions, and lengths all at once."""
+    toks = _prompt(rng, 2, 8)
+    cache_a = llama.KVCache.create(CFG, 2, 256)
+    logits_full, _ = llama.prefill(params, CFG, toks, cache_a)
+
+    cache_b = llama.KVCache.create(CFG, 2, 256)
+    _, cache_b = llama.prefill(params, CFG, toks[:, :-1], cache_b)
+    logits_inc, _ = llama.decode_step(params, CFG, toks[:, -1], cache_b)
+
+    assert_close(logits_inc, logits_full, atol=2e-2, rtol=2e-2,
+                 name="decode vs prefill logits")
+
+
+def test_generate_runs_and_is_deterministic(params, rng):
+    toks = _prompt(rng, 1, 8)
+    out1 = llama.generate(params, CFG, toks, steps=6)
+    out2 = llama.generate(params, CFG, toks, steps=6)
+    assert out1.shape == (1, 6)
+    assert np.array_equal(out1, out2)
+    assert np.all((out1 >= 0) & (out1 < CFG.vocab_size))
+
+
+def test_generate_scan_matches_host_loop(params, rng):
+    toks = _prompt(rng, 2, 8)
+    want = llama.generate(params, CFG, toks, steps=5)
+    cache = llama.KVCache.create(CFG, 2, 256)
+    got = np.asarray(llama.generate_scan(params, CFG, toks, cache, 5))
+    assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("fmt", ["q8_0", "q4_k"])
+def test_quantized_decode(params, rng, fmt):
+    """Quantized model must run the fused-dequant path and stay close to the
+    dense model (q8_0 tight, q4_k loose)."""
+    qparams = llama.quantize_params(params, fmt)
+    toks = _prompt(rng, 1, 8)
+    cache_d = llama.KVCache.create(CFG, 1, 256)
+    cache_q = llama.KVCache.create(CFG, 1, 256)
+    ld, _ = llama.prefill(params, CFG, toks, cache_d)
+    lq, _ = llama.prefill(qparams, CFG, toks, cache_q)
+    ld, lq = np.asarray(ld), np.asarray(lq)
+    # correlation of logits stays high even under 4-bit error
+    c = np.corrcoef(ld.ravel(), lq.ravel())[0, 1]
+    assert c > (0.999 if fmt == "q8_0" else 0.95), f"logit corr {c}"
+    assert np.all(np.isfinite(lq))
+
+
+def test_ragged_batch_decode(params, rng):
+    """Sequences of different lengths in one batch decode independently:
+    batch result == per-sequence result."""
+    t1 = _prompt(rng, 1, 8)
+    t2 = _prompt(rng, 1, 8)
+    # batched: both prompts together
+    toks = jnp.concatenate([t1, t2])
+    cache = llama.KVCache.create(CFG, 2, 256)
+    logits_b, cache = llama.prefill(params, CFG, toks, cache)
+    # singles
+    for i, t in enumerate((t1, t2)):
+        c = llama.KVCache.create(CFG, 1, 256)
+        logits_s, _ = llama.prefill(params, CFG, t, c)
+        assert_close(logits_b[i:i+1], logits_s, atol=2e-2, rtol=2e-2,
+                     name=f"batch independence seq {i}")
