@@ -117,8 +117,14 @@ def _write_cache(cache_kl: jax.Array, new: jax.Array, pos: jax.Array
 # ---------------------------------------------------------------------------
 
 def _attention_block(layer: Params, cfg: ModelConfig, h: jax.Array,
-                     cache_k, cache_v, lengths, positions, *, decode: bool):
-    """Shared attention block; returns (attn_out, new_k, new_v)."""
+                     cache_k, cache_v, lengths, positions, *, decode: bool,
+                     reduce_axis: str | None = None):
+    """Shared attention block; returns (attn_out, new_k, new_v).
+
+    ``reduce_axis``: shard_map axis name for tensor parallelism — cfg then
+    describes the *local* shard (n_heads/n_kv_heads divided), wq/wk/wv are
+    column-parallel, and the wo row-parallel product is psum-reduced.
+    """
     B, T, _ = h.shape
     Hq, Hkv, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
 
@@ -149,30 +155,37 @@ def _attention_block(layer: Params, cfg: ModelConfig, h: jax.Array,
         ).transpose(0, 2, 1, 3)            # [B, T, Hq, D]
 
     o = o.reshape(B, T, Hq * D).astype(h.dtype)
-    return apply_linear(o, layer["wo"]), k_cached, v_cached
+    out = apply_linear(o, layer["wo"])
+    if reduce_axis is not None:
+        out = jax.lax.psum(out, reduce_axis)
+    return out, k_cached, v_cached
 
 
-def _mlp_block(layer: Params, cfg: ModelConfig, h: jax.Array) -> jax.Array:
+def _mlp_block(layer: Params, cfg: ModelConfig, h: jax.Array,
+               reduce_axis: str | None = None) -> jax.Array:
     x = rms_norm(h, layer["mlp_norm"], cfg.rms_eps)
     gate = apply_linear(x, layer["w_gate"])
     up = apply_linear(x, layer["w_up"])
-    return apply_linear(jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype)
-                        * up, layer["w_down"])
+    out = apply_linear(jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype)
+                       * up, layer["w_down"])
+    if reduce_axis is not None:
+        out = jax.lax.psum(out, reduce_axis)
+    return out
 
 
 def _forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
-             cache: KVCache, positions: jax.Array, *, decode: bool
-             ) -> tuple[jax.Array, KVCache]:
+             cache: KVCache, positions: jax.Array, *, decode: bool,
+             reduce_axis: str | None = None) -> tuple[jax.Array, KVCache]:
     h = params["embed"][tokens]            # [B, T, dim]
     new_k, new_v = [], []
     for li, layer in enumerate(params["layers"]):
         attn, ck, cv = _attention_block(
             layer, cfg, h, cache.k[li], cache.v[li], cache.lengths,
-            positions, decode=decode)
+            positions, decode=decode, reduce_axis=reduce_axis)
         new_k.append(ck)
         new_v.append(cv)
         h = h + attn
-        h = h + _mlp_block(layer, cfg, h)
+        h = h + _mlp_block(layer, cfg, h, reduce_axis=reduce_axis)
     h = rms_norm(h, params["final_norm"], cfg.rms_eps)
     logits = apply_linear(h[:, -1], params["lm_head"])   # [B, vocab]
     new_cache = KVCache(

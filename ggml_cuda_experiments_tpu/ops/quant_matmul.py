@@ -73,19 +73,30 @@ QK_K = quant_ref.QK_K        # 256
 
 @functools.cache
 def _perm(k: int) -> np.ndarray:
-    """perm[j] = logical element index stored at device lane j."""
-    assert k % QK_K == 0, f"K={k} must be a multiple of {QK_K}"
-    ks = k // QK_K
-    return (np.arange(k).reshape(ks, 8, QK)     # [super, pos8, pos32]
-            .transpose(2, 1, 0).reshape(k))     # j = pos32, pos8, super
+    """perm[j] = logical element index stored at device lane j.
+
+    K % 256 == 0: 3-level (super, pos8, pos32) transpose — supports Q4_K's
+    superblock scales. Otherwise (K % 32 == 0, e.g. row-parallel shards of
+    small models): 2-level (block, pos32) transpose — Q8_0/Q4_0 only.
+    """
+    assert k % QK == 0, f"K={k} must be a multiple of {QK}"
+    if k % QK_K == 0:
+        ks = k // QK_K
+        return (np.arange(k).reshape(ks, 8, QK)   # [super, pos8, pos32]
+                .transpose(2, 1, 0).reshape(k))   # j = pos32, pos8, super
+    kb = k // QK
+    return (np.arange(k).reshape(kb, QK)          # [block, pos32]
+            .transpose(1, 0).reshape(k))
 
 
 @functools.cache
 def _perm32(k: int) -> np.ndarray:
     """Per-32-block scale lane order: perm32[r] = logical block index."""
-    ks = k // QK_K
-    return (np.arange(k // QK).reshape(ks, 8)   # [super, pos8]
-            .transpose(1, 0).reshape(k // QK))
+    if k % QK_K == 0:
+        ks = k // QK_K
+        return (np.arange(k // QK).reshape(ks, 8)  # [super, pos8]
+                .transpose(1, 0).reshape(k // QK))
+    return np.arange(k // QK)                      # 2-level: natural order
 
 
 @functools.cache
@@ -96,10 +107,13 @@ def _inv_perm(k: int) -> np.ndarray:
 def permute_activations(x: jax.Array) -> jax.Array:
     """Reorder x [..., K] into the interleaved column order (one transpose)."""
     *lead, k = x.shape
-    ks = k // QK_K
-    return (x.reshape(*lead, ks, 8, QK)
-            .transpose(*range(len(lead)), len(lead) + 2, len(lead) + 1,
-                       len(lead))
+    nl = len(lead)
+    if k % QK_K == 0:
+        return (x.reshape(*lead, k // QK_K, 8, QK)
+                .transpose(*range(nl), nl + 2, nl + 1, nl)
+                .reshape(*lead, k))
+    return (x.reshape(*lead, k // QK, QK)
+            .transpose(*range(nl), nl + 1, nl)
             .reshape(*lead, k))
 
 
@@ -121,12 +135,20 @@ class QuantLinear:
     """
 
     fmt: str = dataclasses.field(metadata=dict(static=True))
+    # logical (pre-shard) shape; informational only — kernels derive their
+    # dimensions from the arrays so shard_map-local shards work unchanged
     shape: tuple[int, int] = dataclasses.field(metadata=dict(static=True))
     qs: jax.Array = None
     d: jax.Array = None
     sc: jax.Array | None = None
     mn: jax.Array | None = None
     dmin: jax.Array | None = None
+
+    @property
+    def array_shape(self) -> tuple[int, int]:
+        """[N, K] as implied by the (possibly shard-local) arrays."""
+        n, kq = self.qs.shape
+        return n, kq * (1 if self.fmt == "q8_0" else 2)
 
     @property
     def nbytes(self) -> int:
@@ -231,12 +253,75 @@ def _xla_rep(v, times):
     return jnp.tile(v, (1, times))
 
 
-def _qmatmul_kernel(*refs, fmt: str, compute_dtype):
-    """Grid (n,): out = x_perm @ dequant(W_tile)^T — 1-2 MXU dots per tile."""
+def _qmatvec_seg_kernel(x_ref, xs_ref, *refs, fmt: str):
+    """B=1 q4 matvec with *deferred* block scales (the speed-of-light path).
+
+    In the interleaved order with Kb = K/32 a multiple of 128, the scale
+    block of lane j is simply ``j mod Kb`` — so the 16 nibble-pair
+    sub-rows of every block live at aligned lane offsets {i*Kb}. The kernel
+    therefore multiplies raw nibbles by x, folds the 16 sub-rows into a
+    [bn, Kb] partial (slice-accumulate, all 128-aligned), and only then
+    applies scales at block granularity — O(K/32) scale work instead of
+    O(K). Mins (and Q4_0's -8 offset) never touch the weights: they
+    contribute ``sum_b m_eff[n,b] * xs[b]`` where xs are per-block sums of
+    x, computed once outside the kernel.
+    """
+    names = _FIELDS[fmt]
+    w_refs = dict(zip(names, refs[:len(names)]))
+    o_ref = refs[len(names)]
+
+    packed = w_refs["qs"][...]                       # [bn, K/2] uint8
+    bn, k2 = packed.shape
+    kb = k2 // 16                                    # = K/32 lanes per seg
+    # low nibble: int8 ops avoid the 4x widening; high nibble needs a shift,
+    # which int8 lacks -> int32 route
+    lo = (pltpu.bitcast(packed, jnp.int8) & jnp.int8(0xF)).astype(jnp.float32)
+    hi = ((packed.astype(jnp.int32) >> 4) & 0xF).astype(jnp.float32)
+
+    x = x_ref[...]                                   # [1, K] f32 (permuted)
+    t = lo * x[:, :k2] + hi * x[:, k2:]              # [bn, K/2]
+
+    z = t[:, :kb]
+    for i in range(1, 16):
+        z = z + t[:, i * kb:(i + 1) * kb]            # [bn, Kb]
+
+    xs = xs_ref[...]                                 # [1, Kb] block sums of x
+    if fmt == "q4_0":
+        d = w_refs["d"][...]                         # [bn, Kb]
+        y = jnp.sum(d * z - (8.0 * d) * xs, axis=1)
+    else:  # q4_k
+        sc = w_refs["sc"][...].astype(jnp.int32).astype(jnp.float32)
+        mn = w_refs["mn"][...].astype(jnp.int32).astype(jnp.float32)
+        eff_s = _mosaic_rep(w_refs["d"][...], 8) * sc
+        eff_m = _mosaic_rep(w_refs["dmin"][...], 8) * mn
+        y = jnp.sum(eff_s * z - eff_m * xs, axis=1)
+    o_ref[...] = y[None, :].astype(o_ref.dtype)
+
+
+def _qmatmul_kernel(*refs, fmt: str, compute_dtype, vpu: bool):
+    """Grid (n,): out = x_perm @ dequant(W_tile)^T.
+
+    vpu=False: 1-2 MXU dots per tile (best for B >= ~8).
+    vpu=True:  broadcast-multiply + lane-reduce on the VPU (B == 1): a
+               matvec puts only B of 128 MXU sublanes to work, so for
+               single-token decode the VPU's full-width elementwise path is
+               faster and overlaps the weight-stream DMA.
+    """
     names = _FIELDS[fmt]
     x_ref = refs[0]
     w_refs = dict(zip(names, refs[1:1 + len(names)]))
     o_ref = refs[1 + len(names)]
+
+    if vpu:
+        w_lo, w_hi = _dequant_halves(fmt, w_refs, _mosaic_rep)
+        x = x_ref[...]                                       # [1, K] f32
+        if w_hi is None:
+            acc = jnp.sum(w_lo * x, axis=1)                  # [bn]
+        else:
+            kh = w_lo.shape[1]
+            acc = jnp.sum(w_lo * x[:, :kh] + w_hi * x[:, kh:], axis=1)
+        o_ref[...] = acc[None, :].astype(o_ref.dtype)
+        return
 
     w_lo, w_hi = _dequant_halves(fmt, w_refs, _mosaic_rep)
     x = x_ref[...].astype(compute_dtype)                     # [B, K]
@@ -262,32 +347,48 @@ def _qmatmul_kernel(*refs, fmt: str, compute_dtype):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_n", "compute_dtype", "out_dtype", "interpret"),
+    static_argnames=("block_n", "compute_dtype", "out_dtype", "use_vpu",
+                     "segmented", "interpret"),
 )
 def qmatmul(
     x: jax.Array,
     ql: QuantLinear,
     *,
-    block_n: int = 512,
-    compute_dtype=jnp.float32,
+    block_n: int | None = None,
+    compute_dtype=jnp.bfloat16,
     out_dtype=None,
+    use_vpu: bool | None = None,
+    segmented: bool = False,
     interpret: bool | None = None,
 ) -> jax.Array:
     """y[B, N] = x[B, K] @ dequant(W[N, K])^T, dequant fused in-kernel.
 
     The memory-bound decode path: weights stream HBM→VMEM once, activations
     stay resident. x is in *logical* order (permutation handled here).
+    compute_dtype bf16 keeps the MXU single-pass (f16-compute-level accuracy,
+    like the reference's fp16 WMMA dequant path); pass f32 for full accuracy.
     """
-    N, K = ql.shape
+    N, K = ql.array_shape
     B = x.shape[0]
     assert x.shape[1] == K, f"x K={x.shape[1]} vs weight K={K}"
     if out_dtype is None:
         out_dtype = x.dtype
+    if use_vpu is None:
+        # measured on v5e: 4-bit formats are dequant-bound and the VPU path
+        # wins at B=1 (~56% vs ~35% roofline); q8_0's trivial dequant keeps
+        # the MXU path ahead (~90%) even at B=1
+        use_vpu = B == 1 and ql.fmt != "q8_0"
 
-    xp = permute_activations(x)
-    Bp = max(8, -(-B // 8) * 8)
+    xp = permute_activations(x.astype(jnp.float32))
+    if use_vpu and B == 1:
+        Bp = 1
+    else:
+        use_vpu = False
+        Bp = max(8, -(-B // 8) * 8)
     if Bp != B:
         xp = jnp.pad(xp, ((0, Bp - B), (0, 0)))
+    if block_n is None:
+        block_n = 1024 if use_vpu else 512   # measured optima on v5e
     bn = min(block_n, N)
     Np = -(-N // bn) * bn
     fields = _FIELDS[ql.fmt]
@@ -302,9 +403,26 @@ def qmatmul(
         div = _LANE_DIV[ql.fmt][f]
         in_specs.append(pl.BlockSpec((bn, K // div), lambda n: (n, 0)))
 
+    kb = K // QK
+    # deferred-scale segmented variant: kept selectable for tuning, but the
+    # plain VPU path measured faster on v5e (56% vs 42% roofline) — the
+    # nibble unpack, not the scale expand, is the VPU bottleneck
+    seg = (segmented and use_vpu and ql.fmt in ("q4_0", "q4_k")
+           and kb % 128 == 0)
+    if seg:
+        # per-block sums of x for the deferred min/offset terms, in the
+        # same permuted block order as the scale arrays
+        xs = x.astype(jnp.float32).reshape(B, kb, QK).sum(-1)[:, _perm32(K)]
+        kernel = functools.partial(_qmatvec_seg_kernel, fmt=ql.fmt)
+        inputs = (xp, xs, *arrays)
+        in_specs.insert(1, pl.BlockSpec((Bp, kb), lambda n: (0, 0)))
+    else:
+        kernel = functools.partial(_qmatmul_kernel, fmt=ql.fmt,
+                                   compute_dtype=compute_dtype, vpu=use_vpu)
+        inputs = (xp, *arrays)
+
     out = pl.pallas_call(
-        functools.partial(_qmatmul_kernel, fmt=ql.fmt,
-                          compute_dtype=compute_dtype),
+        kernel,
         out_shape=jax.ShapeDtypeStruct((Bp, Np), out_dtype),
         grid=(Np // bn,),
         in_specs=in_specs,
@@ -319,7 +437,7 @@ def qmatmul(
             transcendentals=0,
         ),
         interpret=interpret_default(interpret),
-    )(xp, *arrays)
+    )(*inputs)
     return out[:B, :N]
 
 
@@ -338,7 +456,7 @@ def dequantize_jnp(ql: QuantLinear, dtype=jnp.float32) -> jax.Array:
     w_lo, w_hi = _dequant_halves(ql.fmt, {k: _A(v) for k, v in refs.items()},
                                  _xla_rep)
     wp = w_lo if w_hi is None else jnp.concatenate([w_lo, w_hi], axis=1)
-    inv = jnp.asarray(_inv_perm(ql.shape[1]))
+    inv = jnp.asarray(_inv_perm(ql.array_shape[1]))
     return wp[:, inv].astype(dtype)
 
 

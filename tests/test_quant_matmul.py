@@ -28,15 +28,36 @@ def test_device_dequant_matches_oracle(rng, fmt):
 
 @pytest.mark.parametrize("fmt", FMTS)
 @pytest.mark.parametrize("batch", [1, 8])
-def test_qmatmul_fused(rng, fmt, batch):
+def test_qmatmul_fused_f32(rng, fmt, batch):
+    """compute_dtype=f32: result must match the oracle to accumulation
+    error only (dequant itself is bit-exact)."""
     n, k = 256, 1024
     w = rng.normal(size=(n, k)).astype(np.float32)
     x = rng.normal(size=(batch, k)).astype(np.float32)
     t = quant_ref.FORMATS[fmt][0](w)
     ql = qm.from_oracle(t)
     want = x @ quant_ref.FORMATS[fmt][1](t).T
-    got = qm.qmatmul(jnp.asarray(x), ql, block_n=128)
+    got = qm.qmatmul(jnp.asarray(x), ql, block_n=128,
+                     compute_dtype=jnp.float32)
     assert_close(got, want, atol=5e-3, rtol=5e-3, name=f"qmatmul {fmt} B={batch}")
+
+
+@pytest.mark.parametrize("fmt", FMTS)
+@pytest.mark.parametrize("batch,vpu", [(1, True), (1, False), (8, False)])
+def test_qmatmul_fused_bf16_default(rng, fmt, batch, vpu):
+    """Default bf16 compute (MXU-native / VPU matvec): f16-level accuracy,
+    like the reference's fp16 WMMA dequant path."""
+    n, k = 256, 1024
+    w = rng.normal(size=(n, k)).astype(np.float32)
+    x = rng.normal(size=(batch, k)).astype(np.float32)
+    t = quant_ref.FORMATS[fmt][0](w)
+    ql = qm.from_oracle(t)
+    want = x @ quant_ref.FORMATS[fmt][1](t).T
+    got = qm.qmatmul(jnp.asarray(x), ql, block_n=128, use_vpu=vpu)
+    # bf16 weight rounding ~0.4% relative; amplified by K-sum cancellation
+    scale = np.abs(want).max()
+    err = np.abs(np.asarray(got) - want).max()
+    assert err < 0.02 * scale, f"{fmt} B={batch} vpu={vpu}: err {err} vs {scale}"
 
 
 @pytest.mark.parametrize("fmt", FMTS)
@@ -59,7 +80,8 @@ def test_qmatmul_unaligned_n(rng):
     t = quant_ref.quantize_q8_0(w)
     ql = qm.from_oracle(t)
     want = x @ quant_ref.dequantize_q8_0(t).T
-    got = qm.qmatmul(jnp.asarray(x), ql, block_n=256)
+    got = qm.qmatmul(jnp.asarray(x), ql, block_n=256,
+                     compute_dtype=jnp.float32)
     assert_close(got, want, atol=5e-3, rtol=5e-3, name="qmatmul unaligned N")
 
 
@@ -68,3 +90,20 @@ def test_nbytes_counts_packed_nibbles(rng):
     ql = qm.quantize(w, "q4_0")
     # 4 bits/weight + f32 scale per 32
     assert ql.nbytes == 64 * 512 // 2 + 64 * (512 // 32) * 4
+
+
+@pytest.mark.parametrize("fmt", ["q4_0", "q4_k"])
+def test_qmatvec_segmented_path(rng, fmt):
+    """K % 4096 == 0 triggers the deferred-scale segmented VPU path; it must
+    match the oracle like any other path."""
+    n, k = 64, 4096
+    w = rng.normal(size=(n, k)).astype(np.float32)
+    x = rng.normal(size=(1, k)).astype(np.float32)
+    t = quant_ref.FORMATS[fmt][0](w)
+    ql = qm.from_oracle(t)
+    want = x @ quant_ref.FORMATS[fmt][1](t).T
+    got = qm.qmatmul(jnp.asarray(x), ql, block_n=64, use_vpu=True,
+                     segmented=True)
+    scale = np.abs(want).max()
+    err = np.abs(np.asarray(got) - want).max()
+    assert err < 5e-3 * scale, f"{fmt} seg: err {err} vs scale {scale}"
