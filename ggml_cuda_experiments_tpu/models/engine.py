@@ -1,0 +1,382 @@
+"""Serving engine: continuous batching over a paged (optionally INT8) KV
+cache.
+
+The scheduler lives OUTSIDE the jit boundary (SURVEY §7 "hard parts"):
+admission, page allocation, and completion are host-side Python over numpy
+state; the device work is two jitted, fixed-shape functions (per-request
+paged prefill, batched paged decode). Requests join and leave the running
+batch between steps — continuous batching — while the KV pool pages are
+recycled through a free list.
+
+Page accounting is conservative (vLLM's "no-preemption" mode): a request is
+admitted only if pages for its full prompt+max_new_tokens fit, so decode
+never fails allocation mid-flight.
+
+No reference analog (the CUDA repo is single-kernel harnesses); mandated by
+BASELINE.json configs 4-5.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ggml_cuda_experiments_tpu.models.config import ModelConfig
+from ggml_cuda_experiments_tpu.models import llama
+from ggml_cuda_experiments_tpu.ops.paged_attention import paged_decode
+from ggml_cuda_experiments_tpu.ops.flash_attention import flash_attention
+
+Params = dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# paged pool
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PagedKVPool:
+    """Shared page pool: k/v [L, Hkv, n_pages, ps, D] (+ scales if int8)."""
+    k: jax.Array
+    v: jax.Array
+    k_scale: jax.Array | None = None
+    v_scale: jax.Array | None = None
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
+    @staticmethod
+    def create(cfg: ModelConfig, n_pages: int, page_size: int,
+               quantized: bool = False, dtype=jnp.bfloat16) -> "PagedKVPool":
+        shape = (cfg.n_layers, cfg.n_kv_heads, n_pages, page_size,
+                 cfg.head_dim)
+        if quantized:
+            return PagedKVPool(
+                k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
+                k_scale=jnp.zeros(shape[:-1], jnp.float32),
+                v_scale=jnp.zeros(shape[:-1], jnp.float32))
+        return PagedKVPool(k=jnp.zeros(shape, dtype),
+                           v=jnp.zeros(shape, dtype))
+
+
+def _scatter_tokens(pool_l: jax.Array, new: jax.Array, pages: jax.Array,
+                    offs: jax.Array) -> jax.Array:
+    """Write new [Hkv, T, ...] into pool_l [Hkv, n_pages, ps, ...] at
+    (pages[t], offs[t])."""
+    return pool_l.at[:, pages, offs].set(new.astype(pool_l.dtype))
+
+
+# ---------------------------------------------------------------------------
+# jitted device steps
+# ---------------------------------------------------------------------------
+
+def _rope_one(x, positions, theta):
+    return llama.rope(x, positions, theta)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",),
+                   donate_argnames=("pool",))
+def paged_prefill(params: Params, cfg: ModelConfig, tokens: jax.Array,
+                  length: jax.Array, page_row: jax.Array, pool: PagedKVPool
+                  ) -> tuple[jax.Array, PagedKVPool]:
+    """Prefill ONE request: tokens [1, T] (T = padded prompt), length scalar
+    (true prompt length), page_row [pages_per_seq]. Returns last-valid-token
+    logits [1, V] and the pool with the prompt's KV written.
+
+    Padded-tail tokens (t >= length) are routed to the reserved trash page
+    (the pool's last page, never allocated) so they cannot corrupt another
+    sequence's pages."""
+    B, T = tokens.shape
+    ps = pool.k.shape[3]
+    trash = pool.k.shape[2] - 1
+    h = params["embed"][tokens]
+    positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
+    t_idx = jnp.arange(T, dtype=jnp.int32)
+    pages = jnp.where(t_idx < length, page_row[t_idx // ps], trash)
+    offs = t_idx % ps
+
+    new_k, new_v, new_ks, new_vs = [], [], [], []
+    for li, layer in enumerate(params["layers"]):
+        x = llama.rms_norm(h, layer["attn_norm"], cfg.rms_eps)
+        q = llama.apply_linear(x, layer["wq"]).reshape(B, T, cfg.n_heads,
+                                                       cfg.head_dim)
+        k = llama.apply_linear(x, layer["wk"]).reshape(B, T, cfg.n_kv_heads,
+                                                       cfg.head_dim)
+        v = llama.apply_linear(x, layer["wv"]).reshape(B, T, cfg.n_kv_heads,
+                                                       cfg.head_dim)
+        q = _rope_one(q, positions, cfg.rope_theta)
+        k = _rope_one(k, positions, cfg.rope_theta)
+        kt = k.transpose(0, 2, 1, 3)[0]          # [Hkv, T, D]
+        vt = v.transpose(0, 2, 1, 3)[0]
+
+        if pool.quantized:
+            kq, ksc = llama._quantize_rowwise(kt)
+            vq, vsc = llama._quantize_rowwise(vt)
+            new_k.append(_scatter_tokens(pool.k[li], kq, pages, offs))
+            new_v.append(_scatter_tokens(pool.v[li], vq, pages, offs))
+            new_ks.append(_scatter_tokens(pool.k_scale[li], ksc, pages, offs))
+            new_vs.append(_scatter_tokens(pool.v_scale[li], vsc, pages, offs))
+        else:
+            new_k.append(_scatter_tokens(pool.k[li], kt, pages, offs))
+            new_v.append(_scatter_tokens(pool.v[li], vt, pages, offs))
+
+        # attention over the fresh bf16 K/V; padded tail masked causally +
+        # by length
+        mask = jnp.where(
+            jnp.arange(T)[None, None, None, :] < length, 0.0, -jnp.inf)
+        o = flash_attention(
+            q.transpose(0, 2, 1, 3), kt[None], vt[None],
+            jnp.asarray(mask, jnp.float32), causal=True,
+        ).transpose(0, 2, 1, 3)
+        o = o.reshape(B, T, cfg.n_heads * cfg.head_dim).astype(h.dtype)
+        attn = llama.apply_linear(o, layer["wo"])
+        h = h + attn
+        h = h + llama._mlp_block(layer, cfg, h)
+
+    h = llama.rms_norm(h, params["final_norm"], cfg.rms_eps)
+    last = h[jnp.arange(B), length - 1]          # [B, dim] at true last token
+    logits = llama.apply_linear(last, params["lm_head"]).astype(jnp.float32)
+
+    new_pool = PagedKVPool(
+        k=jnp.stack(new_k), v=jnp.stack(new_v),
+        k_scale=jnp.stack(new_ks) if pool.quantized else None,
+        v_scale=jnp.stack(new_vs) if pool.quantized else None,
+    )
+    return logits, new_pool
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "ppcb"),
+                   donate_argnames=("pool",))
+def paged_decode_step(params: Params, cfg: ModelConfig, tokens: jax.Array,
+                      lengths: jax.Array, page_indices: jax.Array,
+                      pool: PagedKVPool, active: jax.Array, ppcb: int = 1
+                      ) -> tuple[jax.Array, PagedKVPool]:
+    """One decode step for the whole running batch.
+
+    tokens [B] last sampled token per slot; lengths [B] current lengths
+    (BEFORE this token); page_indices [B, pages_per_seq]. Inactive slots
+    must have lengths >= 1 and valid page rows (their logits are ignored).
+    Returns logits [B, V] and the pool including this token's KV.
+    """
+    B = tokens.shape[0]
+    ps = pool.k.shape[3]
+    trash = pool.k.shape[2] - 1
+    h = params["embed"][tokens[:, None]]                   # [B, 1, dim]
+    positions = lengths[:, None]
+
+    pages_b = jnp.take_along_axis(
+        page_indices, (lengths // ps)[:, None], axis=1)[:, 0]   # [B]
+    pages_b = jnp.where(active, pages_b, trash)   # idle slots -> trash page
+    offs_b = lengths % ps
+
+    new_k, new_v, new_ks, new_vs = [], [], [], []
+    for li, layer in enumerate(params["layers"]):
+        x = llama.rms_norm(h, layer["attn_norm"], cfg.rms_eps)
+        q = llama.apply_linear(x, layer["wq"]).reshape(B, cfg.n_heads,
+                                                       cfg.head_dim)
+        k = llama.apply_linear(x, layer["wk"]).reshape(B, 1, cfg.n_kv_heads,
+                                                       cfg.head_dim)
+        v = llama.apply_linear(x, layer["wv"]).reshape(B, 1, cfg.n_kv_heads,
+                                                       cfg.head_dim)
+        q = _rope_one(q[:, None], positions, cfg.rope_theta)[:, 0]
+        k = _rope_one(k, positions, cfg.rope_theta)
+        kt = k[:, 0]                                       # [B, Hkv, D]
+        vt = v[:, 0]
+
+        # scatter the batch's new tokens: index arrays are [B]
+        if pool.quantized:
+            kq, ksc = llama._quantize_rowwise(kt)
+            vq, vsc = llama._quantize_rowwise(vt)
+            pk = pool.k[li].at[:, pages_b, offs_b].set(
+                kq.transpose(1, 0, 2))
+            pv = pool.v[li].at[:, pages_b, offs_b].set(
+                vq.transpose(1, 0, 2))
+            pks = pool.k_scale[li].at[:, pages_b, offs_b].set(ksc.T)
+            pvs = pool.v_scale[li].at[:, pages_b, offs_b].set(vsc.T)
+            new_ks.append(pks)
+            new_vs.append(pvs)
+            o = paged_decode(
+                q, pk, pv, lengths + 1, page_indices,
+                k_scale_pages=pks, v_scale_pages=pvs,
+                pages_per_compute_block=ppcb)
+        else:
+            pk = pool.k[li].at[:, pages_b, offs_b].set(
+                kt.astype(pool.k.dtype).transpose(1, 0, 2))
+            pv = pool.v[li].at[:, pages_b, offs_b].set(
+                vt.astype(pool.v.dtype).transpose(1, 0, 2))
+            o = paged_decode(q, pk, pv, lengths + 1, page_indices,
+                             pages_per_compute_block=ppcb)
+        new_k.append(pk)
+        new_v.append(pv)
+
+        o = o.reshape(B, 1, cfg.n_heads * cfg.head_dim).astype(h.dtype)
+        attn = llama.apply_linear(o, layer["wo"])
+        h = h + attn
+        h = h + llama._mlp_block(layer, cfg, h)
+
+    h = llama.rms_norm(h, params["final_norm"], cfg.rms_eps)
+    logits = llama.apply_linear(h[:, 0], params["lm_head"]).astype(jnp.float32)
+    new_pool = PagedKVPool(
+        k=jnp.stack(new_k), v=jnp.stack(new_v),
+        k_scale=jnp.stack(new_ks) if pool.quantized else None,
+        v_scale=jnp.stack(new_vs) if pool.quantized else None,
+    )
+    return logits, new_pool
+
+
+# ---------------------------------------------------------------------------
+# host-side scheduler
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class Request:
+    rid: int
+    prompt: list[int]
+    max_new_tokens: int
+    generated: list[int] = dataclasses.field(default_factory=list)
+    slot: int | None = None
+    pages: list[int] | None = None
+    done: bool = False
+
+    @property
+    def length(self) -> int:
+        return len(self.prompt) + len(self.generated)
+
+
+class PageAllocator:
+    def __init__(self, n_pages: int):
+        self.free = list(range(n_pages))
+
+    def alloc(self, n: int) -> list[int] | None:
+        if len(self.free) < n:
+            return None
+        out, self.free = self.free[:n], self.free[n:]
+        return out
+
+    def release(self, pages: list[int]) -> None:
+        self.free.extend(pages)
+
+
+class Engine:
+    """Continuous-batching inference engine (single host)."""
+
+    def __init__(self, params: Params, cfg: ModelConfig, *,
+                 max_batch: int = 8, page_size: int = 64,
+                 n_pages: int = 256, max_seq_len: int | None = None,
+                 quantized_kv: bool = False, eos_id: int | None = None):
+        self.params = params
+        self.cfg = cfg
+        self.max_batch = max_batch
+        self.page_size = page_size
+        self.max_seq_len = max_seq_len or cfg.max_seq_len
+        self.pages_per_seq = -(-self.max_seq_len // page_size)
+        self.pool = PagedKVPool.create(cfg, n_pages, page_size,
+                                       quantized=quantized_kv)
+        # last page is the reserved trash page (padding / idle-slot writes)
+        self.trash_page = n_pages - 1
+        self.allocator = PageAllocator(n_pages - 1)
+        self.eos_id = eos_id
+        # largest pages-per-compute-block (<=4) dividing pages_per_seq
+        self.ppcb = next(c for c in (4, 2, 1) if self.pages_per_seq % c == 0)
+
+        self.waiting: list[Request] = []
+        self.running: list[Request] = []
+        self._next_rid = 0
+        # fixed-shape device-side slot state
+        self.slot_req: list[Request | None] = [None] * max_batch
+        self.lengths = np.ones((max_batch,), np.int32)
+        self.tokens = np.zeros((max_batch,), np.int32)
+        self.page_table = np.full((max_batch, self.pages_per_seq),
+                                  self.trash_page, np.int32)
+
+    # -- API ---------------------------------------------------------------
+
+    def add_request(self, prompt: list[int], max_new_tokens: int = 16) -> int:
+        rid = self._next_rid
+        self._next_rid += 1
+        self.waiting.append(Request(rid, list(prompt), max_new_tokens))
+        return rid
+
+    def step(self) -> dict[int, list[int]]:
+        """Admit + decode one token for every running request.
+        Returns {rid: generated_tokens} for requests finishing this step."""
+        self._admit()
+        finished: dict[int, list[int]] = {}
+        if not self.running:
+            return finished
+
+        active = np.array([r is not None for r in self.slot_req])
+        logits, self.pool = paged_decode_step(
+            self.params, self.cfg, jnp.asarray(self.tokens),
+            jnp.asarray(self.lengths), jnp.asarray(self.page_table),
+            self.pool, jnp.asarray(active), ppcb=self.ppcb)
+        next_tokens = np.asarray(jnp.argmax(logits, -1)).astype(np.int32)
+
+        for req in list(self.running):
+            s = req.slot
+            self.lengths[s] += 1
+            tok = int(next_tokens[s])
+            req.generated.append(tok)
+            self.tokens[s] = tok
+            hit_eos = self.eos_id is not None and tok == self.eos_id
+            if (hit_eos or len(req.generated) >= req.max_new_tokens
+                    or req.length >= self.max_seq_len):
+                finished[req.rid] = list(req.generated)
+                self._release(req)
+        return finished
+
+    def run_to_completion(self, max_steps: int = 10_000) -> dict[int, list[int]]:
+        out: dict[int, list[int]] = {}
+        for _ in range(max_steps):
+            out.update(self.step())
+            if not self.waiting and not self.running:
+                break
+        return out
+
+    # -- internals ---------------------------------------------------------
+
+    def _admit(self) -> None:
+        while self.waiting and len(self.running) < self.max_batch:
+            req = self.waiting[0]
+            need = -(-min(len(req.prompt) + req.max_new_tokens,
+                          self.max_seq_len) // self.page_size)
+            pages = self.allocator.alloc(need)
+            if pages is None:
+                break
+            self.waiting.pop(0)
+            slot = self.slot_req.index(None)
+            req.slot, req.pages = slot, pages
+            self.slot_req[slot] = req
+            self.running.append(req)
+            row = np.full((self.pages_per_seq,), self.trash_page, np.int32)
+            row[:len(pages)] = pages
+            self.page_table[slot] = row
+
+            # prefill (T padded to a flash block multiple)
+            T = max(16, 1 << (len(req.prompt) - 1).bit_length())
+            toks = np.zeros((1, T), np.int32)
+            toks[0, :len(req.prompt)] = req.prompt
+            logits, self.pool = paged_prefill(
+                self.params, self.cfg, jnp.asarray(toks),
+                jnp.asarray(len(req.prompt), jnp.int32),
+                jnp.asarray(row), self.pool)
+            first = int(np.asarray(jnp.argmax(logits, -1))[0])
+            req.generated.append(first)
+            self.tokens[slot] = first
+            self.lengths[slot] = len(req.prompt)
+
+    def _release(self, req: Request) -> None:
+        self.running.remove(req)
+        self.slot_req[req.slot] = None
+        self.allocator.release(req.pages)
+        self.lengths[req.slot] = 1
+        self.tokens[req.slot] = 0
+        self.page_table[req.slot] = self.trash_page
+        req.slot = req.pages = None
+        req.done = True

@@ -87,16 +87,32 @@ def rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
 class KVCache:
     """Contiguous per-layer KV cache (paged variant in ops/paged_attention).
 
-    k, v: [n_layers, B, Hkv, S, D]; lengths: [B] valid prefix length.
+    k, v: [n_layers, B, Hkv, S, D] (bf16, or int8 when quantized);
+    k_scale, v_scale: [n_layers, B, Hkv, S] f32 per-token dequant scales
+    (None for the unquantized cache); lengths: [B] valid prefix length.
     """
     k: jax.Array
     v: jax.Array
     lengths: jax.Array
+    k_scale: jax.Array | None = None
+    v_scale: jax.Array | None = None
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
 
     @staticmethod
     def create(cfg: ModelConfig, batch: int, max_len: int,
-               dtype=jnp.bfloat16) -> "KVCache":
+               dtype=jnp.bfloat16, quantized: bool = False) -> "KVCache":
         shape = (cfg.n_layers, batch, cfg.n_kv_heads, max_len, cfg.head_dim)
+        if quantized:
+            return KVCache(
+                k=jnp.zeros(shape, jnp.int8),
+                v=jnp.zeros(shape, jnp.int8),
+                lengths=jnp.zeros((batch,), jnp.int32),
+                k_scale=jnp.zeros(shape[:-1], jnp.float32),
+                v_scale=jnp.zeros(shape[:-1], jnp.float32),
+            )
         return KVCache(
             k=jnp.zeros(shape, dtype),
             v=jnp.zeros(shape, dtype),
@@ -106,10 +122,23 @@ class KVCache:
 
 def _write_cache(cache_kl: jax.Array, new: jax.Array, pos: jax.Array
                  ) -> jax.Array:
-    """Insert new [B, Hkv, T, D] at per-sequence positions into [B, Hkv, S, D]."""
+    """Insert new [B, Hkv, T, ...] at per-sequence positions into
+    [B, Hkv, S, ...]."""
     def one(c, n, p):
-        return jax.lax.dynamic_update_slice(c, n.astype(c.dtype), (0, p, 0))
+        idx = (0, p) + (0,) * (c.ndim - 2)
+        return jax.lax.dynamic_update_slice(c, n.astype(c.dtype), idx)
     return jax.vmap(one)(cache_kl, new, pos)
+
+
+def _quantize_rowwise(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-token absmax int8 quantization of [..., D] (jnp analog of the
+    oracle's quantize_int8_rowwise)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = amax / 127.0
+    q = jnp.clip(jnp.round(xf / jnp.where(scale == 0.0, 1.0, scale)),
+                 -127, 127).astype(jnp.int8)
+    return q, scale[..., 0]
 
 
 # ---------------------------------------------------------------------------
@@ -118,8 +147,10 @@ def _write_cache(cache_kl: jax.Array, new: jax.Array, pos: jax.Array
 
 def _attention_block(layer: Params, cfg: ModelConfig, h: jax.Array,
                      cache_k, cache_v, lengths, positions, *, decode: bool,
-                     reduce_axis: str | None = None):
-    """Shared attention block; returns (attn_out, new_k, new_v).
+                     reduce_axis: str | None = None,
+                     cache_ks=None, cache_vs=None):
+    """Shared attention block; returns (attn_out, new_caches) where
+    new_caches = (k, v, k_scale, v_scale) (scales None when unquantized).
 
     ``reduce_axis``: shard_map axis name for tensor parallelism — cfg then
     describes the *local* shard (n_heads/n_kv_heads divided), wq/wk/wv are
@@ -127,6 +158,7 @@ def _attention_block(layer: Params, cfg: ModelConfig, h: jax.Array,
     """
     B, T, _ = h.shape
     Hq, Hkv, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    quantized = cache_ks is not None
 
     x = rms_norm(h, layer["attn_norm"], cfg.rms_eps)
     q = apply_linear(x, layer["wq"]).reshape(B, T, Hq, D)
@@ -135,22 +167,33 @@ def _attention_block(layer: Params, cfg: ModelConfig, h: jax.Array,
     q = rope(q, positions, cfg.rope_theta)
     k = rope(k, positions, cfg.rope_theta)
 
-    k_cached = _write_cache(cache_k, k.transpose(0, 2, 1, 3),
-                            positions[:, 0])
-    v_cached = _write_cache(cache_v, v.transpose(0, 2, 1, 3),
-                            positions[:, 0])
+    kt = k.transpose(0, 2, 1, 3)            # [B, Hkv, T, D]
+    vt = v.transpose(0, 2, 1, 3)
+    pos0 = positions[:, 0]
+    ks_cached = vs_cached = None
+    if quantized:
+        kq, ksc = _quantize_rowwise(kt)
+        vq, vsc = _quantize_rowwise(vt)
+        k_cached = _write_cache(cache_k, kq, pos0)
+        v_cached = _write_cache(cache_v, vq, pos0)
+        ks_cached = _write_cache(cache_ks, ksc, pos0)
+        vs_cached = _write_cache(cache_vs, vsc, pos0)
+    else:
+        k_cached = _write_cache(cache_k, kt, pos0)
+        v_cached = _write_cache(cache_v, vt, pos0)
 
     if decode:
         o = flash_decode(
             q[:, 0],                       # [B, Hq, D]
             k_cached, v_cached, lengths + 1,
+            k_scale=ks_cached, v_scale=vs_cached,
         )[:, None]                         # [B, 1, Hq, D]
     else:
-        # prefill: attend over the just-written prefix (queries are the
-        # last T positions of a T-long context)
+        # prefill attends over the fresh bf16 K/V (the cache, possibly
+        # int8, starts empty for prefill — chunked prefill over an existing
+        # quantized prefix is the paged pipeline's job)
         o = flash_attention(
-            q.transpose(0, 2, 1, 3),
-            k_cached[:, :, :T], v_cached[:, :, :T],
+            q.transpose(0, 2, 1, 3), kt, vt,
             causal=True,
         ).transpose(0, 2, 1, 3)            # [B, T, Hq, D]
 
@@ -158,7 +201,7 @@ def _attention_block(layer: Params, cfg: ModelConfig, h: jax.Array,
     out = apply_linear(o, layer["wo"])
     if reduce_axis is not None:
         out = jax.lax.psum(out, reduce_axis)
-    return out, k_cached, v_cached
+    return out, (k_cached, v_cached, ks_cached, vs_cached)
 
 
 def _mlp_block(layer: Params, cfg: ModelConfig, h: jax.Array,
@@ -177,20 +220,25 @@ def _forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
              cache: KVCache, positions: jax.Array, *, decode: bool,
              reduce_axis: str | None = None) -> tuple[jax.Array, KVCache]:
     h = params["embed"][tokens]            # [B, T, dim]
-    new_k, new_v = [], []
+    new = []
     for li, layer in enumerate(params["layers"]):
-        attn, ck, cv = _attention_block(
+        attn, caches = _attention_block(
             layer, cfg, h, cache.k[li], cache.v[li], cache.lengths,
-            positions, decode=decode, reduce_axis=reduce_axis)
-        new_k.append(ck)
-        new_v.append(cv)
+            positions, decode=decode, reduce_axis=reduce_axis,
+            cache_ks=None if cache.k_scale is None else cache.k_scale[li],
+            cache_vs=None if cache.v_scale is None else cache.v_scale[li])
+        new.append(caches)
         h = h + attn
         h = h + _mlp_block(layer, cfg, h, reduce_axis=reduce_axis)
     h = rms_norm(h, params["final_norm"], cfg.rms_eps)
     logits = apply_linear(h[:, -1], params["lm_head"])   # [B, vocab]
+    quantized = cache.k_scale is not None
     new_cache = KVCache(
-        k=jnp.stack(new_k), v=jnp.stack(new_v),
+        k=jnp.stack([c[0] for c in new]),
+        v=jnp.stack([c[1] for c in new]),
         lengths=cache.lengths + tokens.shape[1],
+        k_scale=jnp.stack([c[2] for c in new]) if quantized else None,
+        v_scale=jnp.stack([c[3] for c in new]) if quantized else None,
     )
     return logits.astype(jnp.float32), new_cache
 

@@ -49,10 +49,19 @@ DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 def _decode_kernel(len_ref, q_ref, k_ref, v_ref,
                    o_ref, m_ref, s_ref,
                    m_scr, l_scr, acc_scr, *,
-                   scale: float, bk: int, n_blocks: int):
-    """Grid (B, Hkv, n_splits, n_blocks); KV streamed over the last dim."""
-    sp, blk = pl.program_id(2), pl.program_id(3)
+                   scale: float, bk: int, n_blocks: int,
+                   k_scale_ref=None, v_scale_ref=None):
+    """Grid (B, Hkv, n_splits, n_blocks); KV streamed over the last dim.
+
+    With ``k_scale_ref``/``v_scale_ref``, K/V are int8 with a per-token
+    dequant scale; the scale is applied to the *score rows* (QK^T) and the
+    *probability rows* (P·V) instead of the D-wide tiles — O(bk) multiplies
+    per block instead of O(bk·D), the int8-KV trick of the quantized paged
+    attention design (boom guide §13) on the contiguous cache.
+    """
+    b, sp, blk = pl.program_id(0), pl.program_id(2), pl.program_id(3)
     g, d = q_ref.shape[2], q_ref.shape[3]
+    quantized = k_scale_ref is not None
 
     @pl.when(blk == 0)
     def _init():
@@ -60,7 +69,7 @@ def _decode_kernel(len_ref, q_ref, k_ref, v_ref,
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    length = len_ref[0, 0]
+    length = len_ref[b, 0]
     base = (sp * n_blocks + blk) * bk
 
     @pl.when(base < length)
@@ -69,10 +78,20 @@ def _decode_kernel(len_ref, q_ref, k_ref, v_ref,
         k = k_ref[0, 0]                                   # [bk, D]
         prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
                 else jax.lax.Precision.DEFAULT)
-        s = jax.lax.dot_general(
-            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec,
-        ) * scale                                          # [G, bk]
+        if quantized:
+            # int8 payload: dot in bf16 (int8 values exact in bf16), then
+            # scale the [G, bk] score row-wise
+            s = jax.lax.dot_general(
+                q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = s * (k_scale_ref[0] * scale)             # [1, bk] broadcast
+        else:
+            s = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            ) * scale                                      # [G, bk]
         kpos = base + jax.lax.broadcasted_iota(jnp.int32, (g, bk), 1)
         s = jnp.where(kpos < length, s, DEFAULT_MASK_VALUE)
 
@@ -86,10 +105,17 @@ def _decode_kernel(len_ref, q_ref, k_ref, v_ref,
         l_scr[...] = l_next
         acc_scr[...] *= alpha[:, :1]
         v = v_ref[0, 0]                                    # [bk, D]
-        acc_scr[...] += jax.lax.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32,
-            precision=prec,
-        )
+        if quantized:
+            pv = (p * v_scale_ref[0]).astype(jnp.bfloat16)
+            acc_scr[...] += jax.lax.dot(
+                pv, v.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            acc_scr[...] += jax.lax.dot(
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32,
+                precision=prec,
+            )
 
     @pl.when(blk == n_blocks - 1)
     def _emit():
@@ -108,6 +134,8 @@ def flash_decode(
     v: jax.Array,
     lengths: jax.Array | None = None,
     *,
+    k_scale: jax.Array | None = None,
+    v_scale: jax.Array | None = None,
     scale: float | None = None,
     kv_splits: int = 1,
     block_k: int = 256,
@@ -148,17 +176,39 @@ def flash_decode(
     def kv_index(b, h, sp, blk):
         return (b, h, jnp.minimum(sp * n_blocks + blk, total_blocks - 1), 0)
 
+    quantized = k_scale is not None
+    assert (v_scale is not None) == quantized, \
+        "k_scale and v_scale must be given together"
+
+    in_specs = [
+        # whole [B, 1] array in SMEM (per-b (1,1) blocks trip Mosaic's
+        # block-divisibility check); the kernel indexes by program_id(0)
+        pl.BlockSpec((B, 1), lambda b, h, sp, blk: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, G, D), lambda b, h, sp, blk: (b, h, 0, 0)),
+        pl.BlockSpec((1, 1, bk, D), kv_index),
+        pl.BlockSpec((1, 1, bk, D), kv_index),
+    ]
+    args = [lengths2d, qg, k, v]
+    if quantized:
+        scale_index = lambda b, h, sp, blk: kv_index(b, h, sp, blk)[:3]
+        in_specs += [pl.BlockSpec((1, 1, bk), scale_index)] * 2
+        args += [k_scale, v_scale]
+
+    def kernel_entry(len_ref, q_ref, k_ref, v_ref, *rest):
+        if quantized:
+            ks_ref, vs_ref = rest[0], rest[1]
+            rest = rest[2:]
+        else:
+            ks_ref = vs_ref = None
+        _decode_kernel(len_ref, q_ref, k_ref, v_ref, *rest,
+                       scale=scale, bk=bk, n_blocks=n_blocks,
+                       k_scale_ref=ks_ref, v_scale_ref=vs_ref)
+
     o_part, m_part, s_part = pl.pallas_call(
-        functools.partial(_decode_kernel, scale=scale, bk=bk,
-                          n_blocks=n_blocks),
+        kernel_entry,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda b, h, sp, blk: (b, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, G, D), lambda b, h, sp, blk: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, bk, D), kv_index),
-            pl.BlockSpec((1, 1, bk, D), kv_index),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, 1, 1, G, D), lambda b, h, sp, blk: (b, h, sp, 0, 0)),
             pl.BlockSpec((1, 1, 1, G, 128), lambda b, h, sp, blk: (b, h, sp, 0, 0)),
@@ -184,7 +234,7 @@ def flash_decode(
             transcendentals=B * Hq * S,
         ),
         interpret=interpret_default(interpret),
-    )(lengths2d, qg, k, v)
+    )(*args)
 
     # Phase 2 — fa_reduce analog: fold split partials with the LSE combine.
     parts = AttnPartial(o=o_part, m=m_part[..., :1], s=s_part[..., :1])

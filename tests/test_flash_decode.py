@@ -88,3 +88,25 @@ def test_matches_flash_attention_kernel(rng):
                            jnp.asarray(v), block_q=1)
     assert_close(got, np.asarray(got2)[:, :, 0], atol=2e-3, rtol=2e-3,
                  name="decode vs flash")
+
+
+def test_int8_quantized_kv(rng):
+    """INT8 KV cache with per-token scales: kernel must match the oracle run
+    on the dequantized cache (scale applied to score/prob rows is
+    algebraically identical to dequantizing the tiles)."""
+    from ggml_cuda_experiments_tpu.oracle.quant import (
+        dequantize_int8_rowwise, quantize_int8_rowwise)
+    q, k, v = _rand(rng, 2, 8, 4, 512, 64)
+    kq, ks = quantize_int8_rowwise(k)
+    vq, vs = quantize_int8_rowwise(v)
+    kd = dequantize_int8_rowwise(kq, ks)
+    vd = dequantize_int8_rowwise(vq, vs)
+    lengths = np.array([300, 512], np.int32)
+
+    got = flash_decode(
+        jnp.asarray(q), jnp.asarray(kq), jnp.asarray(vq),
+        jnp.asarray(lengths),
+        k_scale=jnp.asarray(ks[..., 0]), v_scale=jnp.asarray(vs[..., 0]),
+        kv_splits=2)
+    want = _decode_ref(q, kd, vd, lengths)
+    assert_close(got, want, atol=2e-2, rtol=2e-2, name="decode int8 kv")

@@ -87,3 +87,24 @@ def test_ragged_batch_decode(params, rng):
         logits_s, _ = llama.prefill(params, CFG, t, c)
         assert_close(logits_b[i:i+1], logits_s, atol=2e-2, rtol=2e-2,
                      name=f"batch independence seq {i}")
+
+
+def test_int8_kv_cache_decode(params, rng):
+    """INT8-quantized KV cache end-to-end: decode logits track the bf16-cache
+    model closely (int8 per-token KV error ~1%)."""
+    toks = _prompt(rng, 2, 8)
+    cache_f = llama.KVCache.create(CFG, 2, 256)
+    cache_q = llama.KVCache.create(CFG, 2, 256, quantized=True)
+    assert cache_q.quantized and not cache_f.quantized
+
+    lf, cache_f = llama.prefill(params, CFG, toks, cache_f)
+    lq, cache_q = llama.prefill(params, CFG, toks, cache_q)
+    # prefill itself attends over fresh bf16 K/V -> logits nearly equal
+    assert_close(lq, lf, atol=2e-2, rtol=2e-2, name="int8kv prefill")
+
+    nxt = jnp.argmax(lf, -1).astype(jnp.int32)
+    df, _ = llama.decode_step(params, CFG, nxt, cache_f)
+    dq, _ = llama.decode_step(params, CFG, nxt, cache_q)
+    # decode reads the quantized cache -> small extra error
+    c = np.corrcoef(np.asarray(df).ravel(), np.asarray(dq).ravel())[0, 1]
+    assert c > 0.999, f"int8 kv decode corr {c}"

@@ -1,0 +1,94 @@
+"""Paged decode vs contiguous decode vs oracle: gathering scattered pages
+through the DMA window must be numerically identical to a contiguous cache."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ggml_cuda_experiments_tpu.ops.paged_attention import paged_decode
+from ggml_cuda_experiments_tpu.ops.flash_decode import flash_decode
+from ggml_cuda_experiments_tpu.oracle.quant import (
+    dequantize_int8_rowwise, quantize_int8_rowwise)
+from ggml_cuda_experiments_tpu.utils.harness import assert_close
+
+
+def _paged_setup(rng, B, Hq, Hkv, D, page_size, pages_per_seq, lengths):
+    """Build a page pool holding each sequence's KV at random physical pages,
+    plus the equivalent contiguous cache."""
+    S = pages_per_seq * page_size
+    k = rng.normal(size=(B, Hkv, S, D)).astype(np.float32)
+    v = rng.normal(size=(B, Hkv, S, D)).astype(np.float32)
+    q = rng.normal(size=(B, Hq, D)).astype(np.float32)
+
+    n_pages = B * pages_per_seq + 3
+    perm = rng.permutation(n_pages)[: B * pages_per_seq]
+    page_indices = perm.reshape(B, pages_per_seq).astype(np.int32)
+
+    k_pages = np.zeros((Hkv, n_pages, page_size, D), np.float32)
+    v_pages = np.zeros((Hkv, n_pages, page_size, D), np.float32)
+    for b in range(B):
+        for pi in range(pages_per_seq):
+            phys = page_indices[b, pi]
+            sl = slice(pi * page_size, (pi + 1) * page_size)
+            k_pages[:, phys] = k[b, :, sl]
+            v_pages[:, phys] = v[b, :, sl]
+    return q, k, v, k_pages, v_pages, page_indices
+
+
+@pytest.mark.parametrize("ppcb", [1, 2, 4])
+def test_paged_matches_contiguous(rng, ppcb):
+    B, Hq, Hkv, D, ps, pps = 2, 8, 4, 64, 64, 8
+    lengths = np.array([300, 512], np.int32)
+    q, k, v, kp, vp, pidx = _paged_setup(rng, B, Hq, Hkv, D, ps, pps, lengths)
+
+    want = flash_decode(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                        jnp.asarray(lengths))
+    got = paged_decode(jnp.asarray(q), jnp.asarray(kp), jnp.asarray(vp),
+                       jnp.asarray(lengths), jnp.asarray(pidx),
+                       pages_per_compute_block=ppcb)
+    assert_close(np.asarray(got), np.asarray(want), atol=2e-3, rtol=2e-3,
+                 name=f"paged ppcb={ppcb}")
+
+
+def test_paged_short_sequences(rng):
+    """Sequences much shorter than the allocation: tail blocks skipped."""
+    B, Hq, Hkv, D, ps, pps = 3, 4, 2, 64, 32, 8
+    lengths = np.array([1, 33, 250], np.int32)
+    q, k, v, kp, vp, pidx = _paged_setup(rng, B, Hq, Hkv, D, ps, pps, lengths)
+    want = flash_decode(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                        jnp.asarray(lengths), block_k=32)
+    got = paged_decode(jnp.asarray(q), jnp.asarray(kp), jnp.asarray(vp),
+                       jnp.asarray(lengths), jnp.asarray(pidx),
+                       pages_per_compute_block=2)
+    assert_close(np.asarray(got), np.asarray(want), atol=2e-3, rtol=2e-3,
+                 name="paged short seqs")
+
+
+def test_paged_int8(rng):
+    """int8 pages + per-token scales == contiguous int8 decode."""
+    B, Hq, Hkv, D, ps, pps = 2, 8, 2, 64, 64, 4
+    lengths = np.array([256, 200], np.int32)
+    q, k, v, kp, vp, pidx = _paged_setup(rng, B, Hq, Hkv, D, ps, pps, lengths)
+
+    kq, ks = quantize_int8_rowwise(kp)
+    vq, vs = quantize_int8_rowwise(vp)
+    # contiguous reference over the dequantized pool, gathered back
+    kd = dequantize_int8_rowwise(kq, ks)
+    vd = dequantize_int8_rowwise(vq, vs)
+    k_contig = np.zeros_like(k)
+    v_contig = np.zeros_like(v)
+    for b in range(B):
+        for pi in range(pps):
+            sl = slice(pi * ps, (pi + 1) * ps)
+            k_contig[b, :, sl] = kd[:, pidx[b, pi]]
+            v_contig[b, :, sl] = vd[:, pidx[b, pi]]
+    want = flash_decode(jnp.asarray(q), jnp.asarray(k_contig),
+                        jnp.asarray(v_contig), jnp.asarray(lengths))
+
+    got = paged_decode(jnp.asarray(q), jnp.asarray(kq), jnp.asarray(vq),
+                       jnp.asarray(lengths), jnp.asarray(pidx),
+                       k_scale_pages=jnp.asarray(ks[..., 0]),
+                       v_scale_pages=jnp.asarray(vs[..., 0]),
+                       pages_per_compute_block=2)
+    assert_close(np.asarray(got), np.asarray(want), atol=2e-2, rtol=2e-2,
+                 name="paged int8")
