@@ -126,7 +126,8 @@ def _decode_kernel(len_ref, q_ref, k_ref, v_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "kv_splits", "block_k", "interpret"),
+    static_argnames=("scale", "kv_splits", "block_k", "return_partial",
+                     "interpret"),
 )
 def flash_decode(
     q: jax.Array,
@@ -139,6 +140,7 @@ def flash_decode(
     scale: float | None = None,
     kv_splits: int = 1,
     block_k: int = 256,
+    return_partial: bool = False,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Single-token attention against a KV cache, split-KV parallel.
@@ -239,5 +241,12 @@ def flash_decode(
     # Phase 2 — fa_reduce analog: fold split partials with the LSE combine.
     parts = AttnPartial(o=o_part, m=m_part[..., :1], s=s_part[..., :1])
     merged = lse_combine_stacked(parts, axis=2)
+    if return_partial:
+        # un-finalized (o, m, s) for cross-chip context-parallel merging
+        return AttnPartial(
+            o=merged.o.reshape(B, Hq, D),
+            m=merged.m.reshape(B, Hq, 1),
+            s=merged.s.reshape(B, Hq, 1),
+        )
     out = lse_finalize(merged, out_dtype=q.dtype)          # [B, Hkv, G, D]
     return out.reshape(B, Hq, D)
