@@ -82,8 +82,62 @@ def roofline_pct(fmt, **kw) -> float:
     return pct
 
 
+def decode_bench(model: str = "tinyllama-1.1b", fmt: str = "q4_k",
+                 steps_a: int = 8, steps_b: int = 40) -> float:
+    """End-to-end decode tokens/s (batch 1) for a real-shaped model.
+
+    Marginal timing between two fully-jitted lax.scan generations removes
+    prefill + dispatch overhead."""
+    from ggml_cuda_experiments_tpu.models.config import PRESETS
+    from ggml_cuda_experiments_tpu.models import llama
+    import time as _t
+
+    cfg = PRESETS[model]
+    log(f"building {model} {fmt} ({cfg.num_params()/1e9:.2f}B params)...")
+    t0 = _t.perf_counter()
+    params = llama.init_weights(cfg, seed=0, as_numpy=True)
+    params = llama.quantize_params(params, fmt)
+    log(f"  quantized in {_t.perf_counter()-t0:.0f}s")
+    t0 = _t.perf_counter()
+    params = jax.device_put(params)
+    jax.block_until_ready(params)
+    log(f"  device transfer issued in {_t.perf_counter()-t0:.0f}s")
+
+    prompt = jnp.ones((1, 16), jnp.int32)
+
+    def run(steps):
+        cache = llama.KVCache.create(cfg, 1, 1024)
+        t0 = _t.perf_counter()
+        toks = llama.generate_scan(params, cfg, prompt, cache, steps)
+        np.asarray(toks)                     # force completion
+        return _t.perf_counter() - t0
+
+    run(steps_a)                             # compile both
+    run(steps_b)
+    ta = min(run(steps_a) for _ in range(2))
+    tb = min(run(steps_b) for _ in range(2))
+    tok_s = (steps_b - steps_a) / (tb - ta)
+    log(f"{model} {fmt} decode: {tok_s:.1f} tok/s "
+        f"({(tb-ta)/(steps_b-steps_a)*1e3:.1f} ms/token, batch 1)")
+    return tok_s
+
+
 def main() -> None:
     log(device_summary())
+    if "--decode" in sys.argv:
+        model = "tinyllama-1.1b"
+        for a in sys.argv:
+            if a.startswith("--model="):
+                model = a.split("=", 1)[1]
+        tok_s = decode_bench(model)
+        print(json.dumps({
+            "metric": f"{model} q4_k decode throughput (batch 1)",
+            "value": round(tok_s, 2),
+            "unit": "tokens/s/chip",
+            "vs_baseline": 0.0,
+        }))
+        return
+
     q8 = roofline_pct("q8_0", block_n=512)
     pcts = [roofline_pct("q4_k", use_vpu=True, block_n=1024)
             for _ in range(2)]

@@ -304,16 +304,24 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def init_weights(cfg: ModelConfig, seed: int = 0, dtype=jnp.bfloat16
-                 ) -> Params:
+def init_weights(cfg: ModelConfig, seed: int = 0, dtype=jnp.bfloat16,
+                 as_numpy: bool = False) -> Params:
     """Random-init weights (scaled normal), dense. Use ``quantize_params``
-    or the weight loader (utils/loader.py) for quantized models."""
+    or the weight loader (utils/loader.py) for quantized models.
+
+    ``as_numpy`` keeps leaves as host ml_dtypes arrays — essential for
+    big models that will be quantized host-side before transfer (avoids a
+    device round trip per tensor)."""
+    import ml_dtypes
     rng = np.random.default_rng(seed)
     d, hd = cfg.dim, cfg.head_dim
+    np_dtype = {jnp.bfloat16: ml_dtypes.bfloat16,
+                jnp.float32: np.float32}.get(dtype, np.float32)
+    conv = (lambda a: a.astype(np_dtype)) if as_numpy else (
+        lambda a: jnp.asarray(a, dtype))
 
     def lin(n, k):
-        return jnp.asarray(
-            rng.normal(size=(n, k)).astype(np.float32) / np.sqrt(k), dtype)
+        return conv(rng.normal(size=(n, k)).astype(np.float32) / np.sqrt(k))
 
     layers = []
     for _ in range(cfg.n_layers):
@@ -325,15 +333,14 @@ def init_weights(cfg: ModelConfig, seed: int = 0, dtype=jnp.bfloat16
             "w_gate": lin(cfg.intermediate, d),
             "w_up": lin(cfg.intermediate, d),
             "w_down": lin(d, cfg.intermediate),
-            "attn_norm": jnp.ones((d,), dtype),
-            "mlp_norm": jnp.ones((d,), dtype),
+            "attn_norm": conv(np.ones((d,), np.float32)),
+            "mlp_norm": conv(np.ones((d,), np.float32)),
         })
     return {
-        "embed": jnp.asarray(
-            rng.normal(size=(cfg.vocab_size, d)).astype(np.float32) * 0.02,
-            dtype),
+        "embed": conv(
+            rng.normal(size=(cfg.vocab_size, d)).astype(np.float32) * 0.02),
         "layers": layers,
-        "final_norm": jnp.ones((d,), dtype),
+        "final_norm": conv(np.ones((d,), np.float32)),
         "lm_head": lin(cfg.vocab_size, d),
     }
 

@@ -7,46 +7,43 @@ materializing f32/bf16 weights. The reference repo has no quant path — this
 is the driver-mandated extension (SURVEY.md §7 R8) — but the kernel shape
 follows the reference's WMMA GEMM structure (one output tile per grid step,
 operands pipelined HBM→VMEM, /root/reference/src/misc/tensor-core.cu:87-178)
-re-expressed for the MXU.
+re-expressed for the MXU/VPU.
 
 TPU-first layout: the "interleaved" column order
 ------------------------------------------------
 Mosaic (the Pallas TPU compiler) has no consecutive-element expand — you
 cannot broadcast a per-32-block scale row [K/32] to [K] in-kernel (verified:
-``broadcast_to + reshape`` and ``jnp.repeat`` both fail to lower). What it
-*does* have is ``pltpu.repeat`` — a cheap whole-row **tile**-repeat
-(``[a b c] -> [a b c a b c]``). So the weight columns are stored permuted so
-that tile-repeat IS the correct scale expansion:
+``broadcast_to + reshape`` and ``jnp.repeat`` both fail to lower, and
+``pltpu.repeat`` only handles lane counts that tile cleanly). So weight
+columns are stored permuted:
 
     device lane j  <->  logical element e = super*256 + pos8*32 + pos32
-    where  pos32 = j // (K/32),  pos8 = (j % (K/32)) // (K/256),
-           super = j % (K/256)
+    (a hierarchical (K/256, 8, 32) -> (32, 8, K/256) transpose; a 2-level
+    (K/32, 32) -> (32, K/32) version covers K % 256 != 0 for q8_0/q4_0)
 
-i.e. a hierarchical (K/256, 8, 32) -> (32, 8, K/256) transpose. Under this
-order, the scale of device lane j is ``d_dev[j mod K/32]`` — exactly the
-pattern ``pltpu.repeat(d_dev, 32)`` produces — and Q4_K's superblock scale
-is ``d[j mod K/256]`` — exactly ``pltpu.repeat(d, 8)`` at the scale level.
-The contraction is permutation-invariant, so activations are permuted with
-one reshape/transpose (``permute_activations``) before the kernel — a few KB
-for decode batches, fused by XLA.
+Under this order the scale-block index of device lane j is ``j mod (K/32)``
+— so viewing the payload as a 3-D tile ``[N, sub_rows, K/32]`` puts the
+block index on the LANE axis and the position-within-block on the SUBLANE
+axis, making per-block scaling a plain sublane *broadcast* and the partial
+reduction a sublane-axis *sum*. No repeats, no shuffles, any K that is a
+multiple of 32. (The 2-D ``pltpu.repeat``-based MXU variant is kept for
+128-aligned K/32, where it is fastest for q8_0.)
 
 Q4 nibble packing: byte i holds device lanes i (low nibble) and i + K/2
-(high nibble). The two lanes differ only in pos32 (by 16), so they share a
-scale block, and the matvec needs **no unpack interleave at all**:
+(high nibble). The two lanes share a scale block, so the matvec needs no
+unpack interleave: two bitops + two multiplies (the analog of the reference
+keeping V transposed-contiguous so the hot loop needs no layout fixups,
+/root/reference/src/flash_row_float.h:176-177 — pick the storage layout the
+kernel wants, once, at load time).
 
-    y = x_lo @ (lo * s).T + x_hi @ (hi * s).T      (two MXU dots)
-
-where lo/hi are two bitwise ops on the streamed bytes (the analog of the
-reference keeping V transposed-contiguous so the hot loop needs no layout
-fixups, /root/reference/src/flash_row_float.h:176-177 — pick the storage
-layout the kernel wants, once, at load time).
-
-Decode matvec (B ≤ 32): the whole K dimension is one block — a single MXU
-dot per output tile; the grid runs over N only, so Mosaic's automatic
-double-buffering streams the weight tiles at full HBM bandwidth while the
-(tiny) activation stays resident in VMEM. Large-batch prefill uses
-``qmatmul_xla`` (XLA dequant+matmul, MXU-bound — streaming buys nothing
-there).
+Q4_K device encoding ("Q4_K-E"): the 6-bit sub-scales/mins are folded at
+load time into per-32-block *effective* scales ``es = bf16(f32(d)*sc)`` and
+mins ``em = bf16(f32(dmin)*mn)`` — 5.0 bits/weight streamed (vs GGML's
+4.66) in exchange for a superblock-free kernel; bf16 rounding of the
+effective scale is ~0.4%, an order below the 4-bit quantization step. The
+min/offset terms never touch the weights: they contribute
+``sum_b em[n,b] * xs[b]`` with xs the per-block sums of x, computed
+in-kernel from the activation tile.
 """
 
 from __future__ import annotations
@@ -56,6 +53,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import ml_dtypes
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -66,6 +64,9 @@ from ggml_cuda_experiments_tpu.utils.platform import interpret_default
 QK = quant_ref.QK            # 32
 QK_K = quant_ref.QK_K        # 256
 
+# max batch the VPU-looped matvec path accepts before falling back
+_VPU_MAX_B = 8
+
 
 # ---------------------------------------------------------------------------
 # interleaved column order
@@ -73,12 +74,7 @@ QK_K = quant_ref.QK_K        # 256
 
 @functools.cache
 def _perm(k: int) -> np.ndarray:
-    """perm[j] = logical element index stored at device lane j.
-
-    K % 256 == 0: 3-level (super, pos8, pos32) transpose — supports Q4_K's
-    superblock scales. Otherwise (K % 32 == 0, e.g. row-parallel shards of
-    small models): 2-level (block, pos32) transpose — Q8_0/Q4_0 only.
-    """
+    """perm[j] = logical element index stored at device lane j."""
     assert k % QK == 0, f"K={k} must be a multiple of {QK}"
     if k % QK_K == 0:
         ks = k // QK_K
@@ -117,6 +113,11 @@ def permute_activations(x: jax.Array) -> jax.Array:
             .reshape(*lead, k))
 
 
+def _rep_aligned(kb: int) -> bool:
+    """Lane counts for which pltpu.repeat is known-good on Mosaic."""
+    return kb % 128 == 0 or kb in (8, 16, 32, 64)
+
+
 # ---------------------------------------------------------------------------
 # device container
 # ---------------------------------------------------------------------------
@@ -128,10 +129,10 @@ class QuantLinear:
     stored in the interleaved column order.
 
     fields per format (all column-permuted):
-      q8_0: qs int8  [N, K],    d f32 [N, K/32]
-      q4_0: qs uint8 [N, K/2],  d f32 [N, K/32]            (q - 8 at dequant)
-      q4_k: qs uint8 [N, K/2],  sc u8 [N, K/32], mn u8 [N, K/32],
-            d f32 [N, K/256], dmin f32 [N, K/256]
+      q8_0: qs int8  [N, K],    d  f32  [N, K/32]
+      q4_0: qs uint8 [N, K/2],  d  f32  [N, K/32]          (q - 8 at dequant)
+      q4_k: qs uint8 [N, K/2],  es bf16 [N, K/32], em bf16 [N, K/32]
+            ("Q4_K-E": effective scales/mins, see module docstring)
     """
 
     fmt: str = dataclasses.field(metadata=dict(static=True))
@@ -140,9 +141,8 @@ class QuantLinear:
     shape: tuple[int, int] = dataclasses.field(metadata=dict(static=True))
     qs: jax.Array = None
     d: jax.Array = None
-    sc: jax.Array | None = None
-    mn: jax.Array | None = None
-    dmin: jax.Array | None = None
+    es: jax.Array | None = None
+    em: jax.Array | None = None
 
     @property
     def array_shape(self) -> tuple[int, int]:
@@ -153,8 +153,18 @@ class QuantLinear:
     @property
     def nbytes(self) -> int:
         return sum(f.size * f.dtype.itemsize
-                   for f in (self.qs, self.d, self.sc, self.mn, self.dmin)
+                   for f in (self.qs, self.d, self.es, self.em)
                    if f is not None)
+
+
+_FIELDS = {
+    "q8_0": ("qs", "d"),
+    "q4_0": ("qs", "d"),
+    "q4_k": ("qs", "es", "em"),
+}
+
+# lanes per row of each field, as a divisor of K
+_LANE_DIV = {"qs_q8": 1, "qs_q4": 2, "d": QK, "es": QK, "em": QK}
 
 
 def _pack_halves(q_dev: np.ndarray) -> np.ndarray:
@@ -163,6 +173,17 @@ def _pack_halves(q_dev: np.ndarray) -> np.ndarray:
     lo = q_dev[:, : k // 2].astype(np.uint8)
     hi = q_dev[:, k // 2:].astype(np.uint8)
     return lo | (hi << 4)
+
+
+def q4_k_effective(t: quant_ref.Q4_K) -> tuple[np.ndarray, np.ndarray]:
+    """The Q4_K-E contract: per-32-block effective scale/min in bf16,
+    LOGICAL block order. Shared by from_oracle and the tests."""
+    n, k = t.shape
+    d8 = np.repeat(t.d, 8, axis=-1)          # [N, K/32] f32 (exact)
+    dm8 = np.repeat(t.dmin, 8, axis=-1)
+    es = (d8 * t.sc.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    em = (dm8 * t.mn.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    return es, em
 
 
 def from_oracle(t) -> QuantLinear:
@@ -185,65 +206,64 @@ def from_oracle(t) -> QuantLinear:
     if isinstance(t, quant_ref.Q4_K):
         q = quant_ref.unpack_nibbles(
             t.qs.reshape(n, k // QK, QK // 2)).reshape(n, k)
+        es, em = q4_k_effective(t)
         return QuantLinear(
             fmt="q4_k", shape=(n, k),
             qs=jnp.asarray(_pack_halves(q[:, p])),
-            sc=jnp.asarray(t.sc[:, p32]),
-            mn=jnp.asarray(t.mn[:, p32]),
-            d=jnp.asarray(t.d),               # per-256: natural order
-            dmin=jnp.asarray(t.dmin))
+            es=jnp.asarray(es[:, p32]),
+            em=jnp.asarray(em[:, p32]))
     raise TypeError(f"unsupported oracle tensor {type(t)}")
 
 
 def quantize(w: np.ndarray, fmt: str) -> QuantLinear:
-    """Quantize a float [N, K] weight via the oracle into device arrays."""
-    return from_oracle(quant_ref.FORMATS[fmt][0](np.asarray(w)))
+    """Quantize a float [N, K] weight into device arrays (native C++ codec
+    when built — bit-identical to the oracle — else the NumPy oracle)."""
+    from ggml_cuda_experiments_tpu.utils import native
+    return from_oracle(native.quantize(np.asarray(w), fmt))
 
 
 # ---------------------------------------------------------------------------
-# in-kernel dequant (permuted space); `rep` = tile-repeat implementation
+# 3-D VPU matvec kernel (any K multiple of 32; B <= _VPU_MAX_B)
 # ---------------------------------------------------------------------------
 
-def _dequant_halves(fmt: str, refs, rep):
-    """Return (w_lo, w_hi) [bn, K/2] f32 dequantized weight halves (q4_*),
-    or (w, None) for q8_0."""
+def _vpu3_kernel(x3_ref, qs3_ref, s1_ref, s2_ref, o_ref, *, fmt: str, B: int):
+    """Grid (n,). 3-D views put the scale-block index on lanes:
+
+    q8_0: qs3 [bn, 32, Kb] int8,  x3 [B, 32, Kb],  s1 = d  [bn, Kb]
+    q4_*: qs3 [bn, 16, Kb] u8,    x3 [B, 32, Kb] (rows 0-15 = low-nibble
+          lanes, 16-31 = high),   s1 = es [bn, Kb], s2 = em [bn, Kb]|None
+    """
+    q3 = qs3_ref[...]
+    bn = q3.shape[0]
+    kb = q3.shape[2]
+
     if fmt == "q8_0":
-        qs = refs["qs"][...]
-        bn, k = qs.shape
-        w = qs.astype(jnp.float32) * rep(refs["d"][...], QK)
-        return w, None
+        w3 = q3.astype(jnp.float32)                       # [bn, 32, Kb]
+        s = s1_ref[...]                                   # [bn, Kb]
+        for b in range(B):
+            x3 = x3_ref[b]                                # [32, Kb]
+            zb = jnp.sum(w3 * x3[None], axis=1)           # [bn, Kb]
+            o_ref[b, :] = jnp.sum(s * zb, axis=1)
+        return
 
-    packed = refs["qs"][...].astype(jnp.int32)        # [bn, K/2]
-    lo = (packed & 0xF).astype(jnp.float32)
-    hi = (packed >> 4).astype(jnp.float32)
+    lo = (pltpu.bitcast(q3, jnp.int8) & jnp.int8(0xF)).astype(jnp.float32)
+    hi = ((q3.astype(jnp.int32) >> 4) & 0xF).astype(jnp.float32)
+    es = s1_ref[...].astype(jnp.float32)                  # [bn, Kb]
     if fmt == "q4_0":
-        s_half = rep(refs["d"][...], QK // 2)         # [bn, K/2]
-        return (lo - 8.0) * s_half, (hi - 8.0) * s_half
-    if fmt == "q4_k":
-        # uint8 -> f32 is not a supported Mosaic cast; go through int32
-        sc = refs["sc"][...].astype(jnp.int32).astype(jnp.float32)
-        mn = refs["mn"][...].astype(jnp.int32).astype(jnp.float32)
-        eff_s = rep(refs["d"][...], 8) * sc           # [bn, K/32]
-        eff_m = rep(refs["dmin"][...], 8) * mn
-        s_half = rep(eff_s, QK // 2)                  # [bn, K/2]
-        m_half = rep(eff_m, QK // 2)
-        return lo * s_half - m_half, hi * s_half - m_half
-    raise ValueError(fmt)
+        em = 8.0 * es
+    else:
+        em = s2_ref[...].astype(jnp.float32)
+    for b in range(B):
+        xl = x3_ref[b, :16]                               # [16, Kb]
+        xh = x3_ref[b, 16:]
+        zb = jnp.sum(lo * xl[None] + hi * xh[None], axis=1)   # [bn, Kb]
+        xs = jnp.sum(xl, axis=0) + jnp.sum(xh, axis=0)    # [Kb]
+        o_ref[b, :] = jnp.sum(es * zb - em * xs[None, :], axis=1)
 
 
-_FIELDS = {
-    "q8_0": ("qs", "d"),
-    "q4_0": ("qs", "d"),
-    "q4_k": ("qs", "sc", "mn", "d", "dmin"),
-}
-
-# lanes per row of each field, as a divisor of K
-_LANE_DIV = {
-    "q8_0": {"qs": 1, "d": QK},
-    "q4_0": {"qs": 2, "d": QK},
-    "q4_k": {"qs": 2, "sc": QK, "mn": QK, "d": QK_K, "dmin": QK_K},
-}
-
+# ---------------------------------------------------------------------------
+# 2-D MXU kernel (requires pltpu.repeat-aligned K/32)
+# ---------------------------------------------------------------------------
 
 def _mosaic_rep(v, times):
     return pltpu.repeat(v, times, axis=1)
@@ -253,75 +273,48 @@ def _xla_rep(v, times):
     return jnp.tile(v, (1, times))
 
 
-def _qmatvec_seg_kernel(x_ref, xs_ref, *refs, fmt: str):
-    """B=1 q4 matvec with *deferred* block scales (the speed-of-light path).
-
-    In the interleaved order with Kb = K/32 a multiple of 128, the scale
-    block of lane j is simply ``j mod Kb`` — so the 16 nibble-pair
-    sub-rows of every block live at aligned lane offsets {i*Kb}. The kernel
-    therefore multiplies raw nibbles by x, folds the 16 sub-rows into a
-    [bn, Kb] partial (slice-accumulate, all 128-aligned), and only then
-    applies scales at block granularity — O(K/32) scale work instead of
-    O(K). Mins (and Q4_0's -8 offset) never touch the weights: they
-    contribute ``sum_b m_eff[n,b] * xs[b]`` where xs are per-block sums of
-    x, computed once outside the kernel.
-    """
-    names = _FIELDS[fmt]
-    w_refs = dict(zip(names, refs[:len(names)]))
-    o_ref = refs[len(names)]
-
-    packed = w_refs["qs"][...]                       # [bn, K/2] uint8
-    bn, k2 = packed.shape
-    kb = k2 // 16                                    # = K/32 lanes per seg
-    # low nibble: int8 ops avoid the 4x widening; high nibble needs a shift,
-    # which int8 lacks -> int32 route
-    lo = (pltpu.bitcast(packed, jnp.int8) & jnp.int8(0xF)).astype(jnp.float32)
-    hi = ((packed.astype(jnp.int32) >> 4) & 0xF).astype(jnp.float32)
-
-    x = x_ref[...]                                   # [1, K] f32 (permuted)
-    t = lo * x[:, :k2] + hi * x[:, k2:]              # [bn, K/2]
-
-    z = t[:, :kb]
-    for i in range(1, 16):
-        z = z + t[:, i * kb:(i + 1) * kb]            # [bn, Kb]
-
-    xs = xs_ref[...]                                 # [1, Kb] block sums of x
+def _dequant_halves(fmt: str, refs, rep):
+    """(w_lo, w_hi) [*, K/2] f32 dequantized halves (q4_*), or (w, None)
+    for q8_0. Used by the MXU kernel (rep = pltpu.repeat) and the XLA
+    baseline (rep = jnp.tile)."""
+    if fmt == "q8_0":
+        qs = refs["qs"][...]
+        return qs.astype(jnp.float32) * rep(refs["d"][...], QK), None
+    packed = refs["qs"][...].astype(jnp.int32)        # [*, K/2]
+    lo = (packed & 0xF).astype(jnp.float32)
+    hi = (packed >> 4).astype(jnp.float32)
     if fmt == "q4_0":
-        d = w_refs["d"][...]                         # [bn, Kb]
-        y = jnp.sum(d * z - (8.0 * d) * xs, axis=1)
-    else:  # q4_k
-        sc = w_refs["sc"][...].astype(jnp.int32).astype(jnp.float32)
-        mn = w_refs["mn"][...].astype(jnp.int32).astype(jnp.float32)
-        eff_s = _mosaic_rep(w_refs["d"][...], 8) * sc
-        eff_m = _mosaic_rep(w_refs["dmin"][...], 8) * mn
-        y = jnp.sum(eff_s * z - eff_m * xs, axis=1)
-    o_ref[...] = y[None, :].astype(o_ref.dtype)
+        s_half = rep(refs["d"][...], QK // 2)
+        return (lo - 8.0) * s_half, (hi - 8.0) * s_half
+    es = rep(refs["es"][...].astype(jnp.float32), QK // 2)
+    em = rep(refs["em"][...].astype(jnp.float32), QK // 2)
+    return lo * es - em, hi * es - em
 
 
-def _qmatmul_kernel(*refs, fmt: str, compute_dtype, vpu: bool):
-    """Grid (n,): out = x_perm @ dequant(W_tile)^T.
-
-    vpu=False: 1-2 MXU dots per tile (best for B >= ~8).
-    vpu=True:  broadcast-multiply + lane-reduce on the VPU (B == 1): a
-               matvec puts only B of 128 MXU sublanes to work, so for
-               single-token decode the VPU's full-width elementwise path is
-               faster and overlaps the weight-stream DMA.
-    """
+def _vpu2_kernel(*refs, fmt: str):
+    """B=1 full-width VPU matvec using the repeat-based dequant (fastest
+    measured variant at repeat-aligned K: ~56% roofline for q4_k)."""
     names = _FIELDS[fmt]
     x_ref = refs[0]
     w_refs = dict(zip(names, refs[1:1 + len(names)]))
     o_ref = refs[1 + len(names)]
 
-    if vpu:
-        w_lo, w_hi = _dequant_halves(fmt, w_refs, _mosaic_rep)
-        x = x_ref[...]                                       # [1, K] f32
-        if w_hi is None:
-            acc = jnp.sum(w_lo * x, axis=1)                  # [bn]
-        else:
-            kh = w_lo.shape[1]
-            acc = jnp.sum(w_lo * x[:, :kh] + w_hi * x[:, kh:], axis=1)
-        o_ref[...] = acc[None, :].astype(o_ref.dtype)
-        return
+    w_lo, w_hi = _dequant_halves(fmt, w_refs, _mosaic_rep)
+    x = x_ref[...]                                       # [1, K] f32
+    if w_hi is None:
+        acc = jnp.sum(w_lo * x, axis=1)                  # [bn]
+    else:
+        kh = w_lo.shape[1]
+        acc = jnp.sum(w_lo * x[:, :kh] + w_hi * x[:, kh:], axis=1)
+    o_ref[...] = acc[None, :].astype(o_ref.dtype)
+
+
+def _mxu_kernel(*refs, fmt: str, compute_dtype):
+    """Grid (n,): out = x_perm @ dequant(W_tile)^T — 1-2 MXU dots."""
+    names = _FIELDS[fmt]
+    x_ref = refs[0]
+    w_refs = dict(zip(names, refs[1:1 + len(names)]))
+    o_ref = refs[1 + len(names)]
 
     w_lo, w_hi = _dequant_halves(fmt, w_refs, _mosaic_rep)
     x = x_ref[...].astype(compute_dtype)                     # [B, K]
@@ -345,10 +338,14 @@ def _qmatmul_kernel(*refs, fmt: str, compute_dtype, vpu: bool):
     o_ref[...] = acc.astype(o_ref.dtype)
 
 
+# ---------------------------------------------------------------------------
+# dispatch
+# ---------------------------------------------------------------------------
+
 @functools.partial(
     jax.jit,
     static_argnames=("block_n", "compute_dtype", "out_dtype", "use_vpu",
-                     "segmented", "interpret"),
+                     "interpret"),
 )
 def qmatmul(
     x: jax.Array,
@@ -358,86 +355,127 @@ def qmatmul(
     compute_dtype=jnp.bfloat16,
     out_dtype=None,
     use_vpu: bool | None = None,
-    segmented: bool = False,
     interpret: bool | None = None,
 ) -> jax.Array:
     """y[B, N] = x[B, K] @ dequant(W[N, K])^T, dequant fused in-kernel.
 
     The memory-bound decode path: weights stream HBM→VMEM once, activations
     stay resident. x is in *logical* order (permutation handled here).
-    compute_dtype bf16 keeps the MXU single-pass (f16-compute-level accuracy,
-    like the reference's fp16 WMMA dequant path); pass f32 for full accuracy.
+    Paths (measured on v5e):
+      - VPU 3-D matvec (B <= 8): a matvec uses B of 128 MXU sublanes, so
+        decode runs on the VPU's full width instead (~56% roofline q4_k,
+        any K).
+      - MXU (B >= ~8, K/32 repeat-aligned): ~93% roofline for q8_0.
+      - XLA dequant+matmul fallback elsewhere (use qmatmul_xla for large-B
+        prefill regardless — it is MXU-bound there).
     """
     N, K = ql.array_shape
     B = x.shape[0]
     assert x.shape[1] == K, f"x K={x.shape[1]} vs weight K={K}"
     if out_dtype is None:
         out_dtype = x.dtype
+    kb = K // QK
     if use_vpu is None:
-        # measured on v5e: 4-bit formats are dequant-bound and the VPU path
-        # wins at B=1 (~56% vs ~35% roofline); q8_0's trivial dequant keeps
-        # the MXU path ahead (~90%) even at B=1
-        use_vpu = B == 1 and ql.fmt != "q8_0"
+        # q8_0's trivial dequant keeps the MXU path ahead when it exists
+        use_vpu = B <= _VPU_MAX_B and not (ql.fmt == "q8_0"
+                                           and _rep_aligned(kb))
+    if use_vpu and B > _VPU_MAX_B:
+        use_vpu = False
+    if not use_vpu and not _rep_aligned(kb):
+        # no MXU variant for this K; XLA fallback keeps correctness
+        return qmatmul_xla(x, ql, compute_dtype=jnp.float32
+                           if compute_dtype == jnp.float32 else jnp.bfloat16)
 
     xp = permute_activations(x.astype(jnp.float32))
-    if use_vpu and B == 1:
-        Bp = 1
-    else:
-        use_vpu = False
-        Bp = max(8, -(-B // 8) * 8)
-    if Bp != B:
-        xp = jnp.pad(xp, ((0, Bp - B), (0, 0)))
+    fields = _FIELDS[ql.fmt]
+
     if block_n is None:
-        block_n = 1024 if use_vpu else 512   # measured optima on v5e
+        # measured optima on v5e (1024 vpu / 512 mxu at K=4096), scaled down
+        # for larger K so tile + f32 dequant temporaries fit VMEM (~16MB)
+        budget_elems = 4_000_000 if use_vpu else 2_000_000
+        bn_auto = max(128, (budget_elems // K) // 128 * 128)
+        block_n = min(1024 if use_vpu else 512, bn_auto)
     bn = min(block_n, N)
     Np = -(-N // bn) * bn
-    fields = _FIELDS[ql.fmt]
 
     def pad_rows(a):
         return (jnp.pad(a, ((0, Np - a.shape[0]), (0, 0)))
                 if a.shape[0] != Np else a)
 
     arrays = [pad_rows(getattr(ql, f)) for f in fields]
+
+    if use_vpu:
+        cost = pl.CostEstimate(
+            flops=2 * B * Np * K,
+            bytes_accessed=sum(a.size * a.dtype.itemsize
+                               for a in arrays) + B * K * 4 + B * Np * 4,
+            transcendentals=0)
+        if B == 1 and _rep_aligned(kb):
+            # fast full-width variant (repeat-based scale expansion)
+            out = pl.pallas_call(
+                functools.partial(_vpu2_kernel, fmt=ql.fmt),
+                out_shape=jax.ShapeDtypeStruct((1, Np), out_dtype),
+                grid=(Np // bn,),
+                in_specs=[pl.BlockSpec((1, K), lambda n: (0, 0))]
+                + [pl.BlockSpec(
+                    (bn, K // _LANE_DIV["qs_q8" if (f == "qs" and
+                     ql.fmt == "q8_0") else ("qs_q4" if f == "qs" else f)]),
+                    lambda n: (n, 0)) for f in fields],
+                out_specs=pl.BlockSpec((1, bn), lambda n: (0, n)),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("arbitrary",)),
+                cost_estimate=cost,
+                interpret=interpret_default(interpret),
+            )(xp, *arrays)
+            return out[:, :N]
+        sub = 32 if ql.fmt == "q8_0" else 16   # payload sub-rows
+        x3 = xp.reshape(B, 32, kb)        # row-major view: free reshape
+        qs3 = arrays[0].reshape(Np, sub, kb)
+        s1 = arrays[1]
+        s2 = arrays[2] if len(arrays) > 2 else s1   # dummy for q4_0/q8_0
+        out = pl.pallas_call(
+            functools.partial(_vpu3_kernel, fmt=ql.fmt, B=B),
+            out_shape=jax.ShapeDtypeStruct((B, Np), jnp.float32),
+            grid=(Np // bn,),
+            in_specs=[
+                pl.BlockSpec((B, 32, kb), lambda n: (0, 0, 0)),
+                pl.BlockSpec((bn, sub, kb), lambda n: (n, 0, 0)),
+                pl.BlockSpec((bn, kb), lambda n: (n, 0)),
+                pl.BlockSpec((bn, kb), lambda n: (n, 0)),
+            ],
+            out_specs=pl.BlockSpec((B, bn), lambda n: (0, n)),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            cost_estimate=cost,
+            interpret=interpret_default(interpret),
+        )(x3, qs3, s1, s2)
+        return out[:, :N].astype(out_dtype)
+
+    Bp = max(8, -(-B // 8) * 8)
+    if Bp != B:
+        xp = jnp.pad(xp, ((0, Bp - B), (0, 0)))
     in_specs = [pl.BlockSpec((Bp, K), lambda n: (0, 0))]
     for f in fields:
-        div = _LANE_DIV[ql.fmt][f]
+        div = _LANE_DIV["qs_q8" if (f == "qs" and ql.fmt == "q8_0")
+                        else ("qs_q4" if f == "qs" else f)]
         in_specs.append(pl.BlockSpec((bn, K // div), lambda n: (n, 0)))
 
-    kb = K // QK
-    # deferred-scale segmented variant: kept selectable for tuning, but the
-    # plain VPU path measured faster on v5e (56% vs 42% roofline) — the
-    # nibble unpack, not the scale expand, is the VPU bottleneck
-    seg = (segmented and use_vpu and ql.fmt in ("q4_0", "q4_k")
-           and kb % 128 == 0)
-    if seg:
-        # per-block sums of x for the deferred min/offset terms, in the
-        # same permuted block order as the scale arrays
-        xs = x.astype(jnp.float32).reshape(B, kb, QK).sum(-1)[:, _perm32(K)]
-        kernel = functools.partial(_qmatvec_seg_kernel, fmt=ql.fmt)
-        inputs = (xp, xs, *arrays)
-        in_specs.insert(1, pl.BlockSpec((Bp, kb), lambda n: (0, 0)))
-    else:
-        kernel = functools.partial(_qmatmul_kernel, fmt=ql.fmt,
-                                   compute_dtype=compute_dtype, vpu=use_vpu)
-        inputs = (xp, *arrays)
-
     out = pl.pallas_call(
-        kernel,
+        functools.partial(_mxu_kernel, fmt=ql.fmt,
+                          compute_dtype=compute_dtype),
         out_shape=jax.ShapeDtypeStruct((Bp, Np), out_dtype),
         grid=(Np // bn,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((Bp, bn), lambda n: (0, n)),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
+            dimension_semantics=("arbitrary",)),
         cost_estimate=pl.CostEstimate(
             flops=2 * Bp * Np * K,
             bytes_accessed=sum(a.size * a.dtype.itemsize for a in arrays)
             + Bp * K * 4 + Bp * Np * 4,
-            transcendentals=0,
-        ),
+            transcendentals=0),
         interpret=interpret_default(interpret),
-    )(*inputs)
+    )(xp, *arrays)
     return out[:B, :N]
 
 

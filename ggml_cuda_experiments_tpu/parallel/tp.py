@@ -43,6 +43,7 @@ from ggml_cuda_experiments_tpu.models import llama
 from ggml_cuda_experiments_tpu.models.config import ModelConfig
 from ggml_cuda_experiments_tpu.ops.quant_matmul import QuantLinear, from_oracle
 from ggml_cuda_experiments_tpu.oracle import quant as quant_ref
+from ggml_cuda_experiments_tpu.utils import native as _native
 
 _COL = ("wq", "wk", "wv", "w_gate", "w_up")     # shard N (dim 0)
 _ROW = ("wo", "w_down")                          # shard K (dim 1)
@@ -58,10 +59,10 @@ def _linear_spec(w, axis: int):
         sub = P("model", None) if axis == 0 else P(None, "model")
         return QuantLinear(
             fmt=w.fmt, shape=w.shape,
-            qs=sub, d=sub,
-            sc=None if w.sc is None else sub,
-            mn=None if w.mn is None else sub,
-            dmin=None if w.dmin is None else sub,
+            qs=sub,
+            d=None if w.d is None else sub,
+            es=None if w.es is None else sub,
+            em=None if w.em is None else sub,
         )
     return P("model", None) if axis == 0 else P(None, "model")
 
@@ -111,19 +112,14 @@ def shard_quant_linear(w: np.ndarray, fmt: str, k_shards: int) -> QuantLinear:
     n, k = w.shape
     assert k % k_shards == 0
     kl = k // k_shards
-    parts = [from_oracle(quant_ref.FORMATS[fmt][0](w[:, i * kl:(i + 1) * kl]))
+    parts = [from_oracle(_native.quantize(w[:, i * kl:(i + 1) * kl], fmt))
              for i in range(k_shards)]
-    return QuantLinear(
-        fmt=fmt, shape=(n, k),
-        qs=jnp.concatenate([p.qs for p in parts], axis=1),
-        d=jnp.concatenate([p.d for p in parts], axis=1),
-        sc=None if parts[0].sc is None else
-        jnp.concatenate([p.sc for p in parts], axis=1),
-        mn=None if parts[0].mn is None else
-        jnp.concatenate([p.mn for p in parts], axis=1),
-        dmin=None if parts[0].dmin is None else
-        jnp.concatenate([p.dmin for p in parts], axis=1),
-    )
+    def cat(field):
+        vals = [getattr(p, field) for p in parts]
+        return None if vals[0] is None else jnp.concatenate(vals, axis=1)
+
+    return QuantLinear(fmt=fmt, shape=(n, k), qs=cat("qs"), d=cat("d"),
+                       es=cat("es"), em=cat("em"))
 
 
 def quantize_params_sharded(params: llama.Params, fmt: str, n_model: int
@@ -148,7 +144,7 @@ def quantize_params_sharded(params: llama.Params, fmt: str, n_model: int
             w = np.asarray(w, np.float32)
             if pad_rows:
                 w = np.pad(w, ((0, pad_rows), (0, 0)))
-            return from_oracle(quant_ref.FORMATS[fmt][0](w))
+            return from_oracle(_native.quantize(w, fmt))
 
         ls["wq"] = qcol(layer["wq"])
         ls["wk"] = qcol(layer["wk"])
@@ -162,7 +158,7 @@ def quantize_params_sharded(params: llama.Params, fmt: str, n_model: int
         ls["w_down"] = shard_quant_linear(w_down, fmt, n_model)
         out["layers"].append(ls)
     out["lm_head"] = from_oracle(
-        quant_ref.FORMATS[fmt][0](np.asarray(params["lm_head"], np.float32)))
+        _native.quantize(np.asarray(params["lm_head"], np.float32), fmt))
     return out
 
 

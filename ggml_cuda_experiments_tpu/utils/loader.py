@@ -40,7 +40,7 @@ _DTYPES = {0: np.dtype(np.float32), 1: np.dtype(np.float16),
 _CODES = {v: k for k, v in _DTYPES.items()}
 _ALIGN = 64
 
-_QFIELDS = ("qs", "d", "sc", "mn", "dmin")
+_QFIELDS = ("qs", "d", "es", "em")
 
 
 # ---------------------------------------------------------------------------
@@ -184,10 +184,10 @@ def load_params(path, mesh=None, lazy: bool = True) -> dict[str, Any]:
     for prefix, q in quants.items():
         ql = QuantLinear(
             fmt=q["fmt"], shape=q["shape"],
-            qs=jnp.asarray(q["qs"]), d=jnp.asarray(q["d"]),
-            sc=jnp.asarray(q["sc"]) if "sc" in q else None,
-            mn=jnp.asarray(q["mn"]) if "mn" in q else None,
-            dmin=jnp.asarray(q["dmin"]) if "dmin" in q else None,
+            qs=jnp.asarray(q["qs"]),
+            d=jnp.asarray(q["d"]) if "d" in q else None,
+            es=jnp.asarray(q["es"]) if "es" in q else None,
+            em=jnp.asarray(q["em"]) if "em" in q else None,
         )
         _set_path(tree, prefix, ql)
 

@@ -15,15 +15,40 @@ from ggml_cuda_experiments_tpu.utils.harness import assert_close
 FMTS = ["q8_0", "q4_0", "q4_k"]
 
 
+def _device_dequant_ref(fmt, t):
+    """The device dequant contract: GGML semantics for q8_0/q4_0; the
+    Q4_K-E encoding (bf16 effective scales, see quant_matmul docstring)
+    for q4_k."""
+    if fmt != "q4_k":
+        return quant_ref.FORMATS[fmt][1](t)
+    es, em = qm.q4_k_effective(t)
+    n, k = t.shape
+    q = quant_ref.unpack_nibbles(t.qs.reshape(n, k // 32, 16)).astype(np.float32)
+    return (q * es.astype(np.float32)[..., None]
+            - em.astype(np.float32)[..., None]).reshape(n, k)
+
+
 @pytest.mark.parametrize("fmt", FMTS)
-def test_device_dequant_matches_oracle(rng, fmt):
-    """dequantize_jnp must reproduce the oracle dequant bit-for-bit."""
+def test_device_dequant_matches_contract(rng, fmt):
+    """dequantize_jnp must reproduce the device dequant contract
+    bit-for-bit."""
     w = rng.normal(size=(64, 512)).astype(np.float32)
     t = quant_ref.FORMATS[fmt][0](w)
-    want = quant_ref.FORMATS[fmt][1](t)
+    want = _device_dequant_ref(fmt, t)
     ql = qm.from_oracle(t)
     got = np.asarray(qm.dequantize_jnp(ql))
     assert np.array_equal(got, want), f"{fmt} dequant mismatch"
+
+
+def test_q4_k_e_encoding_close_to_ggml(rng):
+    """The Q4_K-E bf16 effective scales stay within ~0.4% of exact GGML
+    Q4_K dequantization — far below the 4-bit quantization step."""
+    w = rng.normal(size=(32, 512)).astype(np.float32)
+    t = quant_ref.quantize_q4_k(w)
+    exact = quant_ref.dequantize_q4_k(t)
+    device = _device_dequant_ref("q4_k", t)
+    denom = max(1e-6, float(np.abs(exact).max()))
+    assert float(np.abs(device - exact).max()) / denom < 0.01
 
 
 @pytest.mark.parametrize("fmt", FMTS)
@@ -36,7 +61,7 @@ def test_qmatmul_fused_f32(rng, fmt, batch):
     x = rng.normal(size=(batch, k)).astype(np.float32)
     t = quant_ref.FORMATS[fmt][0](w)
     ql = qm.from_oracle(t)
-    want = x @ quant_ref.FORMATS[fmt][1](t).T
+    want = x @ _device_dequant_ref(fmt, t).T
     got = qm.qmatmul(jnp.asarray(x), ql, block_n=128,
                      compute_dtype=jnp.float32)
     assert_close(got, want, atol=5e-3, rtol=5e-3, name=f"qmatmul {fmt} B={batch}")
@@ -52,7 +77,7 @@ def test_qmatmul_fused_bf16_default(rng, fmt, batch, vpu):
     x = rng.normal(size=(batch, k)).astype(np.float32)
     t = quant_ref.FORMATS[fmt][0](w)
     ql = qm.from_oracle(t)
-    want = x @ quant_ref.FORMATS[fmt][1](t).T
+    want = x @ _device_dequant_ref(fmt, t).T
     got = qm.qmatmul(jnp.asarray(x), ql, block_n=128, use_vpu=vpu)
     # bf16 weight rounding ~0.4% relative; amplified by K-sum cancellation
     scale = np.abs(want).max()
@@ -67,7 +92,7 @@ def test_qmatmul_xla_baseline(rng, fmt):
     x = rng.normal(size=(4, k)).astype(np.float32)
     t = quant_ref.FORMATS[fmt][0](w)
     ql = qm.from_oracle(t)
-    want = x @ quant_ref.FORMATS[fmt][1](t).T
+    want = x @ _device_dequant_ref(fmt, t).T
     got = qm.qmatmul_xla(jnp.asarray(x), ql)
     assert_close(got, want, atol=5e-3, rtol=5e-3, name=f"qmatmul_xla {fmt}")
 
@@ -92,18 +117,46 @@ def test_nbytes_counts_packed_nibbles(rng):
     assert ql.nbytes == 64 * 512 // 2 + 64 * (512 // 32) * 4
 
 
-@pytest.mark.parametrize("fmt", ["q4_0", "q4_k"])
-def test_qmatvec_segmented_path(rng, fmt):
-    """K % 4096 == 0 triggers the deferred-scale segmented VPU path; it must
-    match the oracle like any other path."""
-    n, k = 64, 4096
+@pytest.mark.parametrize("fmt", FMTS)
+@pytest.mark.parametrize("k", [1024, 5632])   # 5632: K/32=176, repeat-hostile
+def test_qmatvec_vpu_any_k(rng, fmt, k):
+    """The 3-D VPU matvec path must handle any K multiple of 256 (incl.
+    K/32 not a multiple of 128, where pltpu.repeat cannot lower)."""
+    n = 64
     w = rng.normal(size=(n, k)).astype(np.float32)
     x = rng.normal(size=(1, k)).astype(np.float32)
     t = quant_ref.FORMATS[fmt][0](w)
     ql = qm.from_oracle(t)
-    want = x @ quant_ref.FORMATS[fmt][1](t).T
-    got = qm.qmatmul(jnp.asarray(x), ql, block_n=64, use_vpu=True,
-                     segmented=True)
+    want = x @ _device_dequant_ref(fmt, t).T
+    got = qm.qmatmul(jnp.asarray(x), ql, block_n=64, use_vpu=True)
     scale = np.abs(want).max()
     err = np.abs(np.asarray(got) - want).max()
-    assert err < 5e-3 * scale, f"{fmt} seg: err {err} vs scale {scale}"
+    assert err < 5e-3 * scale, f"{fmt} K={k}: err {err} vs scale {scale}"
+
+
+@pytest.mark.parametrize("batch", [2, 5, 8])
+def test_qmatvec_vpu_batched(rng, batch):
+    """B-looped VPU path for small decode batches."""
+    n, k = 128, 1024
+    w = rng.normal(size=(n, k)).astype(np.float32)
+    x = rng.normal(size=(batch, k)).astype(np.float32)
+    t = quant_ref.quantize_q4_k(w)
+    ql = qm.from_oracle(t)
+    want = x @ _device_dequant_ref("q4_k", t).T
+    got = qm.qmatmul(jnp.asarray(x), ql, block_n=128, use_vpu=True)
+    scale = np.abs(want).max()
+    assert np.abs(np.asarray(got) - want).max() < 5e-3 * scale
+
+
+def test_misaligned_k_mxu_falls_back(rng):
+    """B > VPU limit with repeat-hostile K must still be correct (XLA
+    fallback)."""
+    n, k = 64, 5632
+    w = rng.normal(size=(n, k)).astype(np.float32)
+    x = rng.normal(size=(16, k)).astype(np.float32)
+    t = quant_ref.quantize_q8_0(w)
+    ql = qm.from_oracle(t)
+    want = x @ quant_ref.dequantize_q8_0(t).T
+    got = qm.qmatmul(jnp.asarray(x), ql)
+    scale = np.abs(want).max()
+    assert np.abs(np.asarray(got) - want).max() < 2e-2 * scale
