@@ -104,12 +104,10 @@ def paged_prefill(params: Params, cfg: ModelConfig, tokens: jax.Array,
     new_k, new_v, new_ks, new_vs = [], [], [], []
     for li, layer in enumerate(params["layers"]):
         x = llama.rms_norm(h, layer["attn_norm"], cfg.rms_eps)
-        q = llama.apply_linear(x, layer["wq"]).reshape(B, T, cfg.n_heads,
-                                                       cfg.head_dim)
-        k = llama.apply_linear(x, layer["wk"]).reshape(B, T, cfg.n_kv_heads,
-                                                       cfg.head_dim)
-        v = llama.apply_linear(x, layer["wv"]).reshape(B, T, cfg.n_kv_heads,
-                                                       cfg.head_dim)
+        q, k, v = llama.qkv_proj(layer, x, cfg)
+        q = q.reshape(B, T, cfg.n_heads, cfg.head_dim)
+        k = k.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
+        v = v.reshape(B, T, cfg.n_kv_heads, cfg.head_dim)
         q = _rope_one(q, positions, cfg.rope_theta)
         k = _rope_one(k, positions, cfg.rope_theta)
         kt = k.transpose(0, 2, 1, 3)[0]          # [Hkv, T, D]
@@ -178,12 +176,10 @@ def paged_decode_step(params: Params, cfg: ModelConfig, tokens: jax.Array,
     new_k, new_v, new_ks, new_vs = [], [], [], []
     for li, layer in enumerate(params["layers"]):
         x = llama.rms_norm(h, layer["attn_norm"], cfg.rms_eps)
-        q = llama.apply_linear(x, layer["wq"]).reshape(B, cfg.n_heads,
-                                                       cfg.head_dim)
-        k = llama.apply_linear(x, layer["wk"]).reshape(B, 1, cfg.n_kv_heads,
-                                                       cfg.head_dim)
-        v = llama.apply_linear(x, layer["wv"]).reshape(B, 1, cfg.n_kv_heads,
-                                                       cfg.head_dim)
+        q, k, v = llama.qkv_proj(layer, x, cfg)
+        q = q.reshape(B, cfg.n_heads, cfg.head_dim)
+        k = k.reshape(B, 1, cfg.n_kv_heads, cfg.head_dim)
+        v = v.reshape(B, 1, cfg.n_kv_heads, cfg.head_dim)
         q = _rope_one(q[:, None], positions, cfg.rope_theta)[:, 0]
         k = _rope_one(k, positions, cfg.rope_theta)
         kt = k[:, 0]                                       # [B, Hkv, D]

@@ -226,39 +226,44 @@ def quantize(w: np.ndarray, fmt: str) -> QuantLinear:
 # 3-D VPU matvec kernel (any K multiple of 32; B <= _VPU_MAX_B)
 # ---------------------------------------------------------------------------
 
-def _vpu3_kernel(x3_ref, qs3_ref, s1_ref, s2_ref, o_ref, *, fmt: str, B: int):
-    """Grid (n,). 3-D views put the scale-block index on lanes:
-
-    q8_0: qs3 [bn, 32, Kb] int8,  x3 [B, 32, Kb],  s1 = d  [bn, Kb]
-    q4_*: qs3 [bn, 16, Kb] u8,    x3 [B, 32, Kb] (rows 0-15 = low-nibble
-          lanes, 16-31 = high),   s1 = es [bn, Kb], s2 = em [bn, Kb]|None
-    """
-    q3 = qs3_ref[...]
-    bn = q3.shape[0]
-    kb = q3.shape[2]
-
+def _vpu_e_kernel(x_ref, e_ref, qs_ref, s1_ref, s2_ref, o_ref, *,
+                  fmt: str, B: int):
+    """Any-K matvec: the per-block segment fold is ONE small MXU dot with a
+    constant block-selector matrix E [K(/2), Kb] (E[j,b] = 1 iff lane j
+    belongs to scale block b, i.e. j mod Kb == b). Dense 2-D tiles keep the
+    weight-stream DMA at full burst size; the MXU handles the reduction
+    Mosaic's vector unit cannot express for repeat-hostile Kb."""
+    e = e_ref[...]                                        # [K(/2), Kb] bf16
     if fmt == "q8_0":
-        w3 = q3.astype(jnp.float32)                       # [bn, 32, Kb]
+        w = qs_ref[...].astype(jnp.float32)               # [bn, K]
         s = s1_ref[...]                                   # [bn, Kb]
         for b in range(B):
-            x3 = x3_ref[b]                                # [32, Kb]
-            zb = jnp.sum(w3 * x3[None], axis=1)           # [bn, Kb]
-            o_ref[b, :] = jnp.sum(s * zb, axis=1)
+            t = (w * x_ref[b:b + 1]).astype(jnp.bfloat16)
+            z = jax.lax.dot(t, e, preferred_element_type=jnp.float32)
+            o_ref[b, :] = jnp.sum(s * z, axis=1)
         return
 
-    lo = (pltpu.bitcast(q3, jnp.int8) & jnp.int8(0xF)).astype(jnp.float32)
-    hi = ((q3.astype(jnp.int32) >> 4) & 0xF).astype(jnp.float32)
+    packed = qs_ref[...].astype(jnp.int32)                # [bn, K/2]
+    kh = packed.shape[1]
+    lo = (packed & 0xF).astype(jnp.float32)
+    hi = ((packed >> 4) & 0xF).astype(jnp.float32)
     es = s1_ref[...].astype(jnp.float32)                  # [bn, Kb]
-    if fmt == "q4_0":
-        em = 8.0 * es
-    else:
-        em = s2_ref[...].astype(jnp.float32)
+    em = 8.0 * es if fmt == "q4_0" else s2_ref[...].astype(jnp.float32)
     for b in range(B):
-        xl = x3_ref[b, :16]                               # [16, Kb]
-        xh = x3_ref[b, 16:]
-        zb = jnp.sum(lo * xl[None] + hi * xh[None], axis=1)   # [bn, Kb]
-        xs = jnp.sum(xl, axis=0) + jnp.sum(xh, axis=0)    # [Kb]
-        o_ref[b, :] = jnp.sum(es * zb - em * xs[None, :], axis=1)
+        xl = x_ref[b:b + 1, :kh]                          # [1, K/2]
+        xh = x_ref[b:b + 1, kh:]
+        t = (lo * xl + hi * xh).astype(jnp.bfloat16)      # [bn, K/2]
+        z = jax.lax.dot(t, e, preferred_element_type=jnp.float32)
+        xs = jax.lax.dot((xl + xh).astype(jnp.bfloat16), e,
+                         preferred_element_type=jnp.float32)   # [1, Kb]
+        o_ref[b, :] = jnp.sum(es * z - em * xs, axis=1)
+
+
+@functools.cache
+def _selector_np(rows: int, kb: int):
+    j = np.arange(rows)[:, None]
+    b = np.arange(kb)[None, :]
+    return ((j % kb) == b).astype(ml_dtypes.bfloat16)
 
 
 # ---------------------------------------------------------------------------
@@ -376,9 +381,13 @@ def qmatmul(
         out_dtype = x.dtype
     kb = K // QK
     if use_vpu is None:
-        # q8_0's trivial dequant keeps the MXU path ahead when it exists
+        # q8_0's trivial dequant keeps the MXU path ahead when it exists;
+        # full-f32 requests with B > 1 go to the exact MXU/XLA paths (the
+        # batched VPU selector path rounds through bf16)
         use_vpu = B <= _VPU_MAX_B and not (ql.fmt == "q8_0"
                                            and _rep_aligned(kb))
+        if compute_dtype == jnp.float32 and B > 1:
+            use_vpu = False
     if use_vpu and B > _VPU_MAX_B:
         use_vpu = False
     if not use_vpu and not _rep_aligned(kb):
@@ -399,8 +408,13 @@ def qmatmul(
     Np = -(-N // bn) * bn
 
     def pad_rows(a):
-        return (jnp.pad(a, ((0, Np - a.shape[0]), (0, 0)))
-                if a.shape[0] != Np else a)
+        # N is dim 0 for 2-D arrays, dim 1 for the 'sub' payload layout
+        axis = 1 if a.ndim == 3 else 0
+        if a.shape[axis] == Np:
+            return a
+        pads = [(0, 0)] * a.ndim
+        pads[axis] = (0, Np - a.shape[axis])
+        return jnp.pad(a, pads)
 
     arrays = [pad_rows(getattr(ql, f)) for f in fields]
 
@@ -428,18 +442,20 @@ def qmatmul(
                 interpret=interpret_default(interpret),
             )(xp, *arrays)
             return out[:, :N]
-        sub = 32 if ql.fmt == "q8_0" else 16   # payload sub-rows
-        x3 = xp.reshape(B, 32, kb)        # row-major view: free reshape
-        qs3 = arrays[0].reshape(Np, sub, kb)
+        # any-K path: segment fold via the constant selector matmul
+        rows = K if ql.fmt == "q8_0" else K // 2
+        e = jnp.asarray(_selector_np(rows, kb))
         s1 = arrays[1]
         s2 = arrays[2] if len(arrays) > 2 else s1   # dummy for q4_0/q8_0
+        qs_div = 1 if ql.fmt == "q8_0" else 2
         out = pl.pallas_call(
-            functools.partial(_vpu3_kernel, fmt=ql.fmt, B=B),
+            functools.partial(_vpu_e_kernel, fmt=ql.fmt, B=B),
             out_shape=jax.ShapeDtypeStruct((B, Np), jnp.float32),
             grid=(Np // bn,),
             in_specs=[
-                pl.BlockSpec((B, 32, kb), lambda n: (0, 0, 0)),
-                pl.BlockSpec((bn, sub, kb), lambda n: (n, 0, 0)),
+                pl.BlockSpec((B, K), lambda n: (0, 0)),
+                pl.BlockSpec((rows, kb), lambda n: (0, 0)),
+                pl.BlockSpec((bn, K // qs_div), lambda n: (n, 0)),
                 pl.BlockSpec((bn, kb), lambda n: (n, 0)),
                 pl.BlockSpec((bn, kb), lambda n: (n, 0)),
             ],
@@ -448,7 +464,7 @@ def qmatmul(
                 dimension_semantics=("arbitrary",)),
             cost_estimate=cost,
             interpret=interpret_default(interpret),
-        )(x3, qs3, s1, s2)
+        )(xp, e, arrays[0], s1, s2)
         return out[:, :N].astype(out_dtype)
 
     Bp = max(8, -(-B // 8) * 8)

@@ -116,7 +116,10 @@ def shard_quant_linear(w: np.ndarray, fmt: str, k_shards: int) -> QuantLinear:
              for i in range(k_shards)]
     def cat(field):
         vals = [getattr(p, field) for p in parts]
-        return None if vals[0] is None else jnp.concatenate(vals, axis=1)
+        if vals[0] is None:
+            return None
+        # K-concat axis: 1 for 2-D fields, 2 for the 'sub' payload layout
+        return jnp.concatenate(vals, axis=vals[0].ndim - 1)
 
     return QuantLinear(fmt=fmt, shape=(n, k), qs=cat("qs"), d=cat("d"),
                        es=cat("es"), em=cat("em"))

