@@ -105,10 +105,11 @@ def decode_bench(model: str = "tinyllama-1.1b", fmt: str = "q4_k",
 
     prompt = jnp.ones((1, 16), jnp.int32)
 
-    def run(steps):
-        cache = llama.KVCache.create(cfg, 1, 1024)
+    def run(steps, batch=1, plen=16):
+        cache = llama.KVCache.create(cfg, batch, 1024)
+        p = jnp.ones((batch, plen), jnp.int32)
         t0 = _t.perf_counter()
-        toks = llama.generate_scan(params, cfg, prompt, cache, steps)
+        toks = llama.generate_scan(params, cfg, p, cache, steps)
         np.asarray(toks)                     # force completion
         return _t.perf_counter() - t0
 
@@ -119,6 +120,24 @@ def decode_bench(model: str = "tinyllama-1.1b", fmt: str = "q4_k",
     tok_s = (steps_b - steps_a) / (tb - ta)
     log(f"{model} {fmt} decode: {tok_s:.1f} tok/s "
         f"({(tb-ta)/(steps_b-steps_a)*1e3:.1f} ms/token, batch 1)")
+
+    # p50 TTFT: prefill(512) + first decode step == generate 1 token
+    try:
+        ttfts = sorted(run(1, batch=1, plen=512) for _ in range(5))
+        log(f"{model} {fmt} TTFT (512-token prompt, p50): "
+            f"{ttfts[len(ttfts)//2]*1e3:.0f} ms")
+    except Exception as e:
+        log(f"TTFT measurement failed: {str(e)[:200]}")
+
+    # batched decode throughput (BASELINE config 3: batch 1-8)
+    try:
+        t8a = min(run(steps_a, batch=8) for _ in range(2))
+        t8b = min(run(steps_b, batch=8) for _ in range(2))
+        steps_s8 = (steps_b - steps_a) / (t8b - t8a)
+        log(f"{model} {fmt} decode batch 8: {steps_s8 * 8:.1f} tok/s total "
+            f"({(t8b-t8a)/(steps_b-steps_a)*1e3:.1f} ms/step)")
+    except Exception as e:
+        log(f"batch-8 measurement failed: {str(e)[:200]}")
     return tok_s
 
 

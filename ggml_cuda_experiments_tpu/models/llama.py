@@ -141,14 +141,18 @@ class KVCache:
         )
 
 
-def _write_cache(cache_kl: jax.Array, new: jax.Array, pos: jax.Array
-                 ) -> jax.Array:
-    """Insert new [B, Hkv, T, ...] at per-sequence positions into
-    [B, Hkv, S, ...]."""
-    def one(c, n, p):
-        idx = (0, p) + (0,) * (c.ndim - 2)
-        return jax.lax.dynamic_update_slice(c, n.astype(c.dtype), idx)
-    return jax.vmap(one)(cache_kl, new, pos)
+def _write_cache_layer(cache: jax.Array, li: int, new: jax.Array,
+                       pos: jax.Array) -> jax.Array:
+    """Insert new [B, Hkv, T, ...] into the FULL cache [L, B, Hkv, S, ...]
+    at (li, b, :, pos[b]) — per-(layer, sequence) dynamic-update-slices are
+    tiny and alias in place under donation (a per-layer slice/stack rebuild
+    would copy the entire cache every decode step)."""
+    B = new.shape[0]
+    for b in range(B):
+        idx = (li, b, 0, pos[b]) + (0,) * (new.ndim - 3)
+        cache = jax.lax.dynamic_update_slice(
+            cache, new[b][None, None].astype(cache.dtype), idx)
+    return cache
 
 
 def _quantize_rowwise(x: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -167,11 +171,9 @@ def _quantize_rowwise(x: jax.Array) -> tuple[jax.Array, jax.Array]:
 # ---------------------------------------------------------------------------
 
 def _attention_block(layer: Params, cfg: ModelConfig, h: jax.Array,
-                     cache_k, cache_v, lengths, positions, *, decode: bool,
-                     reduce_axis: str | None = None,
-                     cache_ks=None, cache_vs=None):
-    """Shared attention block; returns (attn_out, new_caches) where
-    new_caches = (k, v, k_scale, v_scale) (scales None when unquantized).
+                     cache: "KVCache", li: int, positions, *, decode: bool,
+                     reduce_axis: str | None = None):
+    """Shared attention block; returns (attn_out, updated cache).
 
     ``reduce_axis``: shard_map axis name for tensor parallelism — cfg then
     describes the *local* shard (n_heads/n_kv_heads divided), wq/wk/wv are
@@ -179,7 +181,8 @@ def _attention_block(layer: Params, cfg: ModelConfig, h: jax.Array,
     """
     B, T, _ = h.shape
     Hq, Hkv, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
-    quantized = cache_ks is not None
+    quantized = cache.quantized
+    lengths = cache.lengths
 
     x = rms_norm(h, layer["attn_norm"], cfg.rms_eps)
     q, k, v = qkv_proj(layer, x, cfg)
@@ -192,23 +195,29 @@ def _attention_block(layer: Params, cfg: ModelConfig, h: jax.Array,
     kt = k.transpose(0, 2, 1, 3)            # [B, Hkv, T, D]
     vt = v.transpose(0, 2, 1, 3)
     pos0 = positions[:, 0]
-    ks_cached = vs_cached = None
     if quantized:
         kq, ksc = _quantize_rowwise(kt)
         vq, vsc = _quantize_rowwise(vt)
-        k_cached = _write_cache(cache_k, kq, pos0)
-        v_cached = _write_cache(cache_v, vq, pos0)
-        ks_cached = _write_cache(cache_ks, ksc, pos0)
-        vs_cached = _write_cache(cache_vs, vsc, pos0)
+        cache = KVCache(
+            k=_write_cache_layer(cache.k, li, kq, pos0),
+            v=_write_cache_layer(cache.v, li, vq, pos0),
+            lengths=lengths,
+            k_scale=_write_cache_layer(cache.k_scale, li, ksc, pos0),
+            v_scale=_write_cache_layer(cache.v_scale, li, vsc, pos0),
+        )
     else:
-        k_cached = _write_cache(cache_k, kt, pos0)
-        v_cached = _write_cache(cache_v, vt, pos0)
+        cache = KVCache(
+            k=_write_cache_layer(cache.k, li, kt, pos0),
+            v=_write_cache_layer(cache.v, li, vt, pos0),
+            lengths=lengths, k_scale=None, v_scale=None,
+        )
 
     if decode:
         o = flash_decode(
             q[:, 0],                       # [B, Hq, D]
-            k_cached, v_cached, lengths + 1,
-            k_scale=ks_cached, v_scale=vs_cached,
+            cache.k[li], cache.v[li], lengths + 1,
+            k_scale=None if not quantized else cache.k_scale[li],
+            v_scale=None if not quantized else cache.v_scale[li],
         )[:, None]                         # [B, 1, Hq, D]
     else:
         # prefill attends over the fresh bf16 K/V (the cache, possibly
@@ -223,7 +232,7 @@ def _attention_block(layer: Params, cfg: ModelConfig, h: jax.Array,
     out = apply_linear(o, layer["wo"])
     if reduce_axis is not None:
         out = jax.lax.psum(out, reduce_axis)
-    return out, (k_cached, v_cached, ks_cached, vs_cached)
+    return out, cache
 
 
 def _mlp_block(layer: Params, cfg: ModelConfig, h: jax.Array,
@@ -241,27 +250,17 @@ def _forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
              cache: KVCache, positions: jax.Array, *, decode: bool,
              reduce_axis: str | None = None) -> tuple[jax.Array, KVCache]:
     h = params["embed"][tokens]            # [B, T, dim]
-    new = []
     for li, layer in enumerate(params["layers"]):
-        attn, caches = _attention_block(
-            layer, cfg, h, cache.k[li], cache.v[li], cache.lengths,
-            positions, decode=decode, reduce_axis=reduce_axis,
-            cache_ks=None if cache.k_scale is None else cache.k_scale[li],
-            cache_vs=None if cache.v_scale is None else cache.v_scale[li])
-        new.append(caches)
+        attn, cache = _attention_block(
+            layer, cfg, h, cache, li, positions, decode=decode,
+            reduce_axis=reduce_axis)
         h = h + attn
         h = h + _mlp_block(layer, cfg, h, reduce_axis=reduce_axis)
     h = rms_norm(h, params["final_norm"], cfg.rms_eps)
     logits = apply_linear(h[:, -1], params["lm_head"])   # [B, vocab]
-    quantized = cache.k_scale is not None
-    new_cache = KVCache(
-        k=jnp.stack([c[0] for c in new]),
-        v=jnp.stack([c[1] for c in new]),
-        lengths=cache.lengths + tokens.shape[1],
-        k_scale=jnp.stack([c[2] for c in new]) if quantized else None,
-        v_scale=jnp.stack([c[3] for c in new]) if quantized else None,
-    )
-    return logits.astype(jnp.float32), new_cache
+    cache = dataclasses.replace(
+        cache, lengths=cache.lengths + tokens.shape[1])
+    return logits.astype(jnp.float32), cache
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

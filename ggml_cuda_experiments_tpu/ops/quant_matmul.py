@@ -381,13 +381,11 @@ def qmatmul(
         out_dtype = x.dtype
     kb = K // QK
     if use_vpu is None:
-        # q8_0's trivial dequant keeps the MXU path ahead when it exists;
-        # full-f32 requests with B > 1 go to the exact MXU/XLA paths (the
-        # batched VPU selector path rounds through bf16)
-        use_vpu = B <= _VPU_MAX_B and not (ql.fmt == "q8_0"
-                                           and _rep_aligned(kb))
-        if compute_dtype == jnp.float32 and B > 1:
-            use_vpu = False
+        # VPU matvec by default only at B == 1: the B-looped variant
+        # compiles pathologically slowly on Mosaic (unrolled per-b bodies)
+        # and the MXU amortizes better from B >= 2 anyway. q8_0 stays on
+        # the MXU whenever the repeat-based dequant exists.
+        use_vpu = B == 1 and not (ql.fmt == "q8_0" and _rep_aligned(kb))
     if use_vpu and B > _VPU_MAX_B:
         use_vpu = False
     if not use_vpu and not _rep_aligned(kb):

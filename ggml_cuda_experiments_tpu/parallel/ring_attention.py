@@ -97,6 +97,42 @@ def ring_attention(
     return lse_finalize(acc, out_dtype=q.dtype)
 
 
+def ulysses_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    axis_name: str,
+    *,
+    causal: bool = False,
+    scale: float | None = None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Ulysses-style sequence parallelism (call inside shard_map).
+
+    The alternative to ring attention (SURVEY §5): activations arrive
+    sequence-sharded [B, H, S_loc, D]; two all-to-alls re-shard heads<->
+    sequence so each chip runs the plain flash kernel on ALL positions of
+    H/n heads, then shard back. Two collectives of O(local activations)
+    instead of N-1 ppermutes of KV — wins when H/n >= 1 and the sequence is
+    short relative to head count; ring wins for very long context.
+    """
+    n = jax.lax.axis_size(axis_name)
+    B, H, S_loc, D = q.shape
+    assert H % n == 0, f"Ulysses needs heads {H} divisible by axis size {n}"
+
+    def to_heads(x):
+        # [B, H, S_loc, D] -> [B, H/n, S, D]: split heads, concat sequence
+        return jax.lax.all_to_all(x, axis_name, split_axis=1, concat_axis=2,
+                                  tiled=True)
+
+    q2, k2, v2 = to_heads(q), to_heads(k), to_heads(v)
+    o2 = flash_attention(q2, k2, v2, causal=causal, scale=scale,
+                         interpret=interpret)
+    # back to sequence sharding: split sequence, concat heads
+    return jax.lax.all_to_all(o2, axis_name, split_axis=2, concat_axis=1,
+                              tiled=True)
+
+
 def decode_context_parallel(
     q: jax.Array,
     k_shard: jax.Array,

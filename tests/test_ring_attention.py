@@ -73,3 +73,26 @@ def test_decode_context_parallel_matches_single(rng):
             jnp.asarray(lengths))
     assert_close(np.asarray(got), np.asarray(want), atol=2e-3, rtol=2e-3,
                  name="ctx-parallel decode")
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ulysses_matches_single(rng, causal):
+    """Ulysses all-to-all sequence parallelism == single-device attention."""
+    from ggml_cuda_experiments_tpu.parallel.ring_attention import ulysses_attention
+    B, H, S, D, n = 1, 8, 512, 64, 4
+    q = rng.normal(size=(B, H, S, D)).astype(np.float32)
+    k = rng.normal(size=(B, H, S, D)).astype(np.float32)
+    v = rng.normal(size=(B, H, S, D)).astype(np.float32)
+    want = flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                           causal=causal)
+    mesh = _ctx_mesh(n)
+    f = shard_map(
+        lambda q, k, v: ulysses_attention(q, k, v, "ctx", causal=causal),
+        mesh=mesh,
+        in_specs=(P(None, None, "ctx", None),) * 3,
+        out_specs=P(None, None, "ctx", None),
+        check_vma=False,
+    )
+    got = f(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    assert_close(np.asarray(got), np.asarray(want), atol=2e-3, rtol=2e-3,
+                 name=f"ulysses causal={causal}")

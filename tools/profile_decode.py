@@ -109,13 +109,13 @@ def main():
 
     def step_maker(n):
         @jax.jit
-        def f():
+        def g(params, tok, cache):   # params as args, not captured consts
             def body(_, carry):
                 tok, cache = carry
                 logits, cache = llama.decode_step(params, cfg, tok, cache)
                 return jnp.argmax(logits, -1).astype(jnp.int32), cache
             return jax.lax.fori_loop(0, n, body, (tok, cache))[0]
-        return f
+        return lambda: g(params, tok, cache)
     step_us = marginal(step_maker, n_small=8, n_big=40) * 1e6
 
     print("-" * 60)
