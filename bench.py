@@ -92,12 +92,26 @@ def decode_bench(model: str = "tinyllama-1.1b", fmt: str = "q4_k",
     from ggml_cuda_experiments_tpu.models import llama
     import time as _t
 
+    from ggml_cuda_experiments_tpu.utils import loader
+    import os
+
     cfg = PRESETS[model]
-    log(f"building {model} {fmt} ({cfg.num_params()/1e9:.2f}B params)...")
+    ckpt = f"/tmp/bench_ckpt_{model}_{fmt}.gctc"
     t0 = _t.perf_counter()
-    params = llama.init_weights(cfg, seed=0, as_numpy=True)
-    params = llama.quantize_params(params, fmt)
-    log(f"  quantized in {_t.perf_counter()-t0:.0f}s")
+    if os.path.exists(ckpt):
+        log(f"loading cached checkpoint {ckpt}...")
+        params = loader.load_params(ckpt)
+        log(f"  loaded in {_t.perf_counter()-t0:.0f}s")
+    else:
+        log(f"building {model} {fmt} ({cfg.num_params()/1e9:.2f}B params)...")
+        params = llama.init_weights(cfg, seed=0, as_numpy=True)
+        params = llama.quantize_params(params, fmt)
+        log(f"  quantized in {_t.perf_counter()-t0:.0f}s")
+        try:
+            loader.save_params(ckpt, params)
+            log(f"  cached to {ckpt}")
+        except Exception as e:
+            log(f"  checkpoint cache failed: {e}")
     t0 = _t.perf_counter()
     params = jax.device_put(params)
     jax.block_until_ready(params)

@@ -314,6 +314,40 @@ def _vpu2_kernel(*refs, fmt: str):
     o_ref[...] = acc[None, :].astype(o_ref.dtype)
 
 
+def _pipe_kernel(*refs, fmt: str, n_tiles: int):
+    """Software-pipelined matvec: the VPU dequantizes tile i into a VMEM
+    scratch slot while the MXU multiplies tile i-1 from the other slot —
+    the two units have no data dependency inside a grid step, so Mosaic can
+    overlap them and the kernel runs at max(DMA, dequant, dot) instead of
+    their sum. Grid has one epilogue step (n_tiles + 1); output tile i-1 is
+    stored at step i."""
+    names = _FIELDS[fmt]
+    x_ref = refs[0]
+    w_refs = dict(zip(names, refs[1:1 + len(names)]))
+    o_ref = refs[1 + len(names)]
+    wbuf = refs[2 + len(names)]                 # [2, bn, K] bf16 scratch
+    i = pl.program_id(0)
+    slot = jax.lax.rem(i, 2)
+
+    @pl.when(i < n_tiles)
+    def _dequant():
+        w_lo, w_hi = _dequant_halves(fmt, w_refs, _mosaic_rep)
+        if w_hi is None:
+            wbuf[slot] = w_lo.astype(jnp.bfloat16)
+        else:
+            kh = w_lo.shape[1]
+            wbuf[slot, :, :kh] = w_lo.astype(jnp.bfloat16)
+            wbuf[slot, :, kh:] = w_hi.astype(jnp.bfloat16)
+
+    @pl.when(i > 0)
+    def _dot():
+        x = x_ref[...].astype(jnp.bfloat16)     # [B, K]
+        o_ref[...] = jax.lax.dot_general(
+            x, wbuf[1 - slot],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
 def _mxu_kernel(*refs, fmt: str, compute_dtype):
     """Grid (n,): out = x_perm @ dequant(W_tile)^T — 1-2 MXU dots."""
     names = _FIELDS[fmt]
@@ -350,7 +384,7 @@ def _mxu_kernel(*refs, fmt: str, compute_dtype):
 @functools.partial(
     jax.jit,
     static_argnames=("block_n", "compute_dtype", "out_dtype", "use_vpu",
-                     "interpret"),
+                     "pipelined", "interpret"),
 )
 def qmatmul(
     x: jax.Array,
@@ -360,6 +394,7 @@ def qmatmul(
     compute_dtype=jnp.bfloat16,
     out_dtype=None,
     use_vpu: bool | None = None,
+    pipelined: bool = False,
     interpret: bool | None = None,
 ) -> jax.Array:
     """y[B, N] = x[B, K] @ dequant(W[N, K])^T, dequant fused in-kernel.
@@ -395,6 +430,10 @@ def qmatmul(
 
     xp = permute_activations(x.astype(jnp.float32))
     fields = _FIELDS[ql.fmt]
+
+    if pipelined and _rep_aligned(kb):
+        return _qmatmul_pipelined(xp, ql, B, N, K, kb, block_n, out_dtype,
+                                  interpret)
 
     if block_n is None:
         # measured optima on v5e (1024 vpu / 512 mxu at K=4096), scaled down
@@ -496,6 +535,52 @@ def qmatmul(
 # ---------------------------------------------------------------------------
 # XLA baselines
 # ---------------------------------------------------------------------------
+
+def _qmatmul_pipelined(xp, ql, B, N, K, kb, block_n, out_dtype, interpret):
+    """Dispatch for the software-pipelined kernel (see _pipe_kernel)."""
+    fields = _FIELDS[ql.fmt]
+    Bp = max(8, -(-B // 8) * 8)
+    if Bp != B:
+        xp = jnp.pad(xp, ((0, Bp - B), (0, 0)))
+    if block_n is None:
+        block_n = 256 if K > 8192 else 512
+    bn = min(block_n, N)
+    Np = -(-N // bn) * bn
+
+    def pad_rows(a):
+        return (jnp.pad(a, ((0, Np - a.shape[0]), (0, 0)))
+                if a.shape[0] != Np else a)
+
+    arrays = [pad_rows(getattr(ql, f)) for f in fields]
+    n_tiles = Np // bn
+
+    def wmap(i):
+        return (jnp.minimum(i, n_tiles - 1), 0)   # clamp the epilogue step
+
+    in_specs = [pl.BlockSpec((Bp, K), lambda i: (0, 0))]
+    for f in fields:
+        div = _LANE_DIV["qs_q8" if (f == "qs" and ql.fmt == "q8_0")
+                        else ("qs_q4" if f == "qs" else f)]
+        in_specs.append(pl.BlockSpec((bn, K // div), wmap))
+
+    out = pl.pallas_call(
+        functools.partial(_pipe_kernel, fmt=ql.fmt, n_tiles=n_tiles),
+        out_shape=jax.ShapeDtypeStruct((Bp, Np), out_dtype),
+        grid=(n_tiles + 1,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((Bp, bn),
+                               lambda i: (0, jnp.maximum(i - 1, 0))),
+        scratch_shapes=[pltpu.VMEM((2, bn, K), jnp.bfloat16)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Bp * Np * K,
+            bytes_accessed=sum(a.size * a.dtype.itemsize for a in arrays),
+            transcendentals=0),
+        interpret=interpret_default(interpret),
+    )(xp, *arrays)
+    return out[:B, :N]
+
 
 def dequantize_jnp(ql: QuantLinear, dtype=jnp.float32) -> jax.Array:
     """XLA-only dequantization to a dense *logical-order* [N, K] array."""

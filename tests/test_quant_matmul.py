@@ -163,3 +163,20 @@ def test_misaligned_k_mxu_falls_back(rng):
     got = qm.qmatmul(jnp.asarray(x), ql)
     scale = np.abs(want).max()
     assert np.abs(np.asarray(got) - want).max() < 2e-2 * scale
+
+
+@pytest.mark.parametrize("fmt", FMTS)
+@pytest.mark.parametrize("batch", [1, 4])
+def test_qmatmul_pipelined(rng, fmt, batch):
+    """Software-pipelined dequant/dot kernel (epilogue-step grid) matches
+    the device dequant contract at bf16 accuracy."""
+    n, k = 512, 1024
+    w = rng.normal(size=(n, k)).astype(np.float32)
+    x = rng.normal(size=(batch, k)).astype(np.float32)
+    t = quant_ref.FORMATS[fmt][0](w)
+    ql = qm.from_oracle(t)
+    want = x @ _device_dequant_ref(fmt, t).T
+    got = qm.qmatmul(jnp.asarray(x), ql, block_n=128, pipelined=True)
+    scale = np.abs(want).max()
+    err = np.abs(np.asarray(got) - want).max()
+    assert err < 2e-2 * scale, f"{fmt} pipelined B={batch}: err {err}"
