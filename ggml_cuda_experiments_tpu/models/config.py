@@ -25,6 +25,10 @@ class ModelConfig:
     rope_theta: float = 10000.0
     rms_eps: float = 1e-5
     max_seq_len: int = 4096
+    # decode matvecs: quantize activations per-32-block to int8 and use the
+    # MXU integer-dot kernel (llama.cpp Q4_K x Q8_K semantics, ~0.5% per-op
+    # rel err, ~1.25x faster than the exact f32 chunk kernel)
+    x_quant8: bool = False
 
     @property
     def gqa_ratio(self) -> int:

@@ -37,13 +37,13 @@ Params = dict[str, Any]
 _QMATVEC_MAX_ROWS = 32
 
 
-def apply_linear(x: jax.Array, w) -> jax.Array:
+def apply_linear(x: jax.Array, w, xq8: bool = False) -> jax.Array:
     """y = x @ W^T for dense [N, K] or QuantLinear weights; x: [..., K]."""
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
     if isinstance(w, QuantLinear):
         if x2.shape[0] <= _QMATVEC_MAX_ROWS:
-            y = qmatmul(x2, w)
+            y = qmatmul(x2, w, x_quant8=xq8)
         else:
             y = qmatmul_xla(x2, w)
     else:
@@ -59,21 +59,23 @@ def qkv_proj(layer: Params, x: jax.Array, cfg: ModelConfig):
     """Query/key/value projections; uses the fused wqkv weight when present
     (one weight stream + one kernel launch instead of three)."""
     if "wqkv" in layer:
-        y = apply_linear(x, layer["wqkv"])
+        y = apply_linear(x, layer["wqkv"], xq8=cfg.x_quant8)
         s1 = cfg.n_heads * cfg.head_dim
         s2 = s1 + cfg.n_kv_heads * cfg.head_dim
         return y[..., :s1], y[..., s1:s2], y[..., s2:]
-    return (apply_linear(x, layer["wq"]), apply_linear(x, layer["wk"]),
-            apply_linear(x, layer["wv"]))
+    return (apply_linear(x, layer["wq"], xq8=cfg.x_quant8),
+            apply_linear(x, layer["wk"], xq8=cfg.x_quant8),
+            apply_linear(x, layer["wv"], xq8=cfg.x_quant8))
 
 
-def gate_up_proj(layer: Params, x: jax.Array):
+def gate_up_proj(layer: Params, x: jax.Array, xq8: bool = False):
     """Gate/up projections; fused w_gu when present."""
     if "w_gu" in layer:
-        y = apply_linear(x, layer["w_gu"])
+        y = apply_linear(x, layer["w_gu"], xq8=xq8)
         h = y.shape[-1] // 2
         return y[..., :h], y[..., h:]
-    return apply_linear(x, layer["w_gate"]), apply_linear(x, layer["w_up"])
+    return (apply_linear(x, layer["w_gate"], xq8=xq8),
+            apply_linear(x, layer["w_up"], xq8=xq8))
 
 
 def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
@@ -229,7 +231,7 @@ def _attention_block(layer: Params, cfg: ModelConfig, h: jax.Array,
         ).transpose(0, 2, 1, 3)            # [B, T, Hq, D]
 
     o = o.reshape(B, T, Hq * D).astype(h.dtype)
-    out = apply_linear(o, layer["wo"])
+    out = apply_linear(o, layer["wo"], xq8=cfg.x_quant8)
     if reduce_axis is not None:
         out = jax.lax.psum(out, reduce_axis)
     return out, cache
@@ -238,9 +240,9 @@ def _attention_block(layer: Params, cfg: ModelConfig, h: jax.Array,
 def _mlp_block(layer: Params, cfg: ModelConfig, h: jax.Array,
                reduce_axis: str | None = None) -> jax.Array:
     x = rms_norm(h, layer["mlp_norm"], cfg.rms_eps)
-    gate, up = gate_up_proj(layer, x)
+    gate, up = gate_up_proj(layer, x, xq8=cfg.x_quant8)
     out = apply_linear(jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype)
-                       * up, layer["w_down"])
+                       * up, layer["w_down"], xq8=cfg.x_quant8)
     if reduce_axis is not None:
         out = jax.lax.psum(out, reduce_axis)
     return out
@@ -257,7 +259,8 @@ def _forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
         h = h + attn
         h = h + _mlp_block(layer, cfg, h, reduce_axis=reduce_axis)
     h = rms_norm(h, params["final_norm"], cfg.rms_eps)
-    logits = apply_linear(h[:, -1], params["lm_head"])   # [B, vocab]
+    logits = apply_linear(h[:, -1], params["lm_head"],
+                          xq8=cfg.x_quant8)     # [B, vocab]
     cache = dataclasses.replace(
         cache, lengths=cache.lengths + tokens.shape[1])
     return logits.astype(jnp.float32), cache

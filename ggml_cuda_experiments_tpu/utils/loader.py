@@ -33,7 +33,7 @@ import numpy as np
 from ggml_cuda_experiments_tpu.ops.quant_matmul import QuantLinear
 
 _MAGIC = b"GCTC"
-_VERSION = 1
+_VERSION = 2   # v2: q4 qs planes use the signed-friendly int8 packing
 _DTYPES = {0: np.dtype(np.float32), 1: np.dtype(np.float16),
            2: np.dtype(ml_dtypes.bfloat16), 3: np.dtype(np.int8),
            4: np.dtype(np.uint8), 5: np.dtype(np.int32)}

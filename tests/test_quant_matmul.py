@@ -180,3 +180,56 @@ def test_qmatmul_pipelined(rng, fmt, batch):
     scale = np.abs(want).max()
     err = np.abs(np.asarray(got) - want).max()
     assert err < 2e-2 * scale, f"{fmt} pipelined B={batch}: err {err}"
+
+
+@pytest.mark.parametrize("fmt", ["q4_k", "q4_0"])
+def test_qmatmul_x_quant8(rng, fmt):
+    """Integer-dot decode path (llama.cpp Q4_K x Q8_K analog): activations
+    per-32-block int8-quantized, block dots as int8 MXU matmuls
+    (_chunk8_kernel). Accuracy class = llama.cpp CUDA decode (~0.5% rel)."""
+    n, k = 640, 4096
+    w = (rng.normal(size=(n, k)) / np.sqrt(k)).astype(np.float32)
+    ql = qm.quantize(w, fmt)
+    x = jnp.asarray(rng.normal(size=(1, k)).astype(np.float32))
+    want = np.asarray(qm.qmatmul_xla(x, ql, compute_dtype=jnp.float32))
+    got = np.asarray(qm.qmatmul(x, ql, use_vpu=True, x_quant8=True))
+    scale = np.abs(want).max()
+    err = np.abs(got - want).max()
+    assert err < 2e-2 * scale, f"{fmt} x_quant8: err {err} vs scale {scale}"
+
+
+def test_qmatmul_chunk_exact_fold(rng):
+    """The f32 chunk-fold kernel (_chunk_kernel) is exact up to f32
+    summation order: tight tolerance vs the f32 XLA reference."""
+    n, k = 512, 4096
+    w = (rng.normal(size=(n, k)) / np.sqrt(k)).astype(np.float32)
+    ql = qm.quantize(w, "q4_k")
+    x = jnp.asarray(rng.normal(size=(1, k)).astype(np.float32))
+    want = np.asarray(qm.qmatmul_xla(x, ql, compute_dtype=jnp.float32))
+    got = np.asarray(qm.qmatmul(x, ql, use_vpu=True))
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() < 1e-4 * scale
+
+
+def test_model_x_quant8_decode(rng):
+    """End-to-end decode step with cfg.x_quant8: logits stay close to the
+    exact-kernel decode (int8 activation quantization error only)."""
+    import dataclasses
+    import jax
+    from ggml_cuda_experiments_tpu.models import llama
+    from ggml_cuda_experiments_tpu.models.config import ModelConfig
+
+    cfg = ModelConfig(name="t", vocab_size=256, dim=4096, n_layers=1,
+                      n_heads=4, n_kv_heads=2, intermediate=4096,
+                      head_dim=64, max_seq_len=128)
+    params = llama.init_weights(cfg, seed=0)
+    params = llama.quantize_params(params, "q4_k")
+    cache = llama.KVCache.create(cfg, 1, 128)
+    tok = jnp.zeros((1,), jnp.int32)
+    exact, _ = llama.decode_step(params, cfg, tok, cache)
+    cfg8 = dataclasses.replace(cfg, x_quant8=True)
+    cache = llama.KVCache.create(cfg, 1, 128)
+    q8, _ = llama.decode_step(params, cfg8, tok, cache)
+    exact, q8 = np.asarray(exact), np.asarray(q8)
+    scale = np.abs(exact).max()
+    assert np.abs(q8 - exact).max() < 3e-2 * scale
