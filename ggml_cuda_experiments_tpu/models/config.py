@@ -29,6 +29,14 @@ class ModelConfig:
     # MXU integer-dot kernel (llama.cpp Q4_K x Q8_K semantics, ~0.5% per-op
     # rel err, ~1.25x faster than the exact f32 chunk kernel)
     x_quant8: bool = False
+    # mixture-of-experts (0 = dense MLP); see models/moe.py
+    n_experts: int = 0
+    n_active_experts: int = 2
+    moe_intermediate: int | None = None
+
+    @property
+    def is_moe(self) -> bool:
+        return self.n_experts > 0
 
     @property
     def gqa_ratio(self) -> int:
@@ -39,7 +47,11 @@ class ModelConfig:
         """Approximate parameter count (weights only)."""
         d, h = self.dim, self.head_dim
         attn = d * (self.n_heads * h) * 2 + d * (self.n_kv_heads * h) * 2
-        mlp = 3 * d * self.intermediate
+        if self.is_moe:
+            inter = self.moe_intermediate or self.intermediate
+            mlp = self.n_experts * (3 * d * inter) + self.n_experts * d
+        else:
+            mlp = 3 * d * self.intermediate
         per_layer = attn + mlp + 2 * d
         return (self.n_layers * per_layer + 2 * self.vocab_size * d + d)
 
@@ -64,4 +76,13 @@ PRESETS = {
     "llama2-70b": ModelConfig(
         name="llama2-70b", vocab_size=32000, dim=8192, n_layers=80,
         n_heads=64, n_kv_heads=8, intermediate=28672, head_dim=128),
+    "moe-debug": ModelConfig(
+        name="moe-debug", vocab_size=512, dim=256, n_layers=2, n_heads=4,
+        n_kv_heads=2, intermediate=512, head_dim=64, max_seq_len=512,
+        n_experts=4, n_active_experts=2),
+    "mixtral-8x7b": ModelConfig(
+        name="mixtral-8x7b", vocab_size=32000, dim=4096, n_layers=32,
+        n_heads=32, n_kv_heads=8, intermediate=14336, head_dim=128,
+        rope_theta=1e6, max_seq_len=32768, n_experts=8,
+        n_active_experts=2),
 }

@@ -238,8 +238,19 @@ def _attention_block(layer: Params, cfg: ModelConfig, h: jax.Array,
 
 
 def _mlp_block(layer: Params, cfg: ModelConfig, h: jax.Array,
-               reduce_axis: str | None = None) -> jax.Array:
+               reduce_axis: str | None = None,
+               expert_axis: str | None = None) -> jax.Array:
     x = rms_norm(h, layer["mlp_norm"], cfg.rms_eps)
+    if "router" in layer:                   # mixture-of-experts MLP
+        from ggml_cuda_experiments_tpu.models import moe
+        out = moe.moe_mlp(layer, cfg, x, expert_axis=expert_axis,
+                          xq8=cfg.x_quant8)
+        if reduce_axis is not None and expert_axis != reduce_axis:
+            # experts replicated over the tp axis contribute identical
+            # partials only when inter is tp-sharded; dense experts here
+            # are expert-sharded only, so nothing to reduce on ``model``.
+            pass
+        return out
     gate, up = gate_up_proj(layer, x, xq8=cfg.x_quant8)
     out = apply_linear(jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype)
                        * up, layer["w_down"], xq8=cfg.x_quant8)
