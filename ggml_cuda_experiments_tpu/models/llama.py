@@ -143,17 +143,24 @@ class KVCache:
         )
 
 
-def _write_cache_layer(cache: jax.Array, li: int, new: jax.Array,
-                       pos: jax.Array) -> jax.Array:
+def _write_cache_layer(cache: jax.Array, li, new: jax.Array,
+                       pos: jax.Array, b0=0, valid=None) -> jax.Array:
     """Insert new [B, Hkv, T, ...] into the FULL cache [L, B, Hkv, S, ...]
-    at (li, b, :, pos[b]) — per-(layer, sequence) dynamic-update-slices are
-    tiny and alias in place under donation (a per-layer slice/stack rebuild
-    would copy the entire cache every decode step)."""
+    at (li, b0 + b, :, pos[b]) — per-(layer, sequence) dynamic-update-slices
+    are tiny and alias in place under donation (a per-layer slice/stack
+    rebuild would copy the entire cache every decode step).
+
+    ``b0``: batch-row offset (traced ok; pipeline microbatches).
+    ``valid``: optional scalar bool — when False the write is a no-op
+    (blends the existing value back in; pipeline bubble steps)."""
     B = new.shape[0]
     for b in range(B):
-        idx = (li, b, 0, pos[b]) + (0,) * (new.ndim - 3)
-        cache = jax.lax.dynamic_update_slice(
-            cache, new[b][None, None].astype(cache.dtype), idx)
+        idx = (li, b0 + b, 0, pos[b]) + (0,) * (new.ndim - 3)
+        val = new[b][None, None].astype(cache.dtype)
+        if valid is not None:
+            old = jax.lax.dynamic_slice(cache, idx, val.shape)
+            val = jnp.where(valid, val, old)
+        cache = jax.lax.dynamic_update_slice(cache, val, idx)
     return cache
 
 
@@ -173,18 +180,24 @@ def _quantize_rowwise(x: jax.Array) -> tuple[jax.Array, jax.Array]:
 # ---------------------------------------------------------------------------
 
 def _attention_block(layer: Params, cfg: ModelConfig, h: jax.Array,
-                     cache: "KVCache", li: int, positions, *, decode: bool,
-                     reduce_axis: str | None = None):
+                     cache: "KVCache", li, positions, *, decode: bool,
+                     reduce_axis: str | None = None, b0=0, valid=None):
     """Shared attention block; returns (attn_out, updated cache).
 
     ``reduce_axis``: shard_map axis name for tensor parallelism — cfg then
     describes the *local* shard (n_heads/n_kv_heads divided), wq/wk/wv are
     column-parallel, and the wo row-parallel product is psum-reduced.
+    ``b0``/``valid``: pipeline microbatching — h covers cache batch rows
+    [b0, b0+B), and writes are suppressed on bubble steps (valid=False).
     """
     B, T, _ = h.shape
     Hq, Hkv, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
     quantized = cache.quantized
-    lengths = cache.lengths
+    micro = not (isinstance(b0, int) and b0 == 0 and valid is None)
+    if micro:
+        lengths = jax.lax.dynamic_slice_in_dim(cache.lengths, b0, B)
+    else:
+        lengths = cache.lengths
 
     x = rms_norm(h, layer["attn_norm"], cfg.rms_eps)
     q, k, v = qkv_proj(layer, x, cfg)
@@ -201,25 +214,35 @@ def _attention_block(layer: Params, cfg: ModelConfig, h: jax.Array,
         kq, ksc = _quantize_rowwise(kt)
         vq, vsc = _quantize_rowwise(vt)
         cache = KVCache(
-            k=_write_cache_layer(cache.k, li, kq, pos0),
-            v=_write_cache_layer(cache.v, li, vq, pos0),
-            lengths=lengths,
-            k_scale=_write_cache_layer(cache.k_scale, li, ksc, pos0),
-            v_scale=_write_cache_layer(cache.v_scale, li, vsc, pos0),
+            k=_write_cache_layer(cache.k, li, kq, pos0, b0, valid),
+            v=_write_cache_layer(cache.v, li, vq, pos0, b0, valid),
+            lengths=cache.lengths,
+            k_scale=_write_cache_layer(cache.k_scale, li, ksc, pos0, b0,
+                                       valid),
+            v_scale=_write_cache_layer(cache.v_scale, li, vsc, pos0, b0,
+                                       valid),
         )
     else:
         cache = KVCache(
-            k=_write_cache_layer(cache.k, li, kt, pos0),
-            v=_write_cache_layer(cache.v, li, vt, pos0),
-            lengths=lengths, k_scale=None, v_scale=None,
+            k=_write_cache_layer(cache.k, li, kt, pos0, b0, valid),
+            v=_write_cache_layer(cache.v, li, vt, pos0, b0, valid),
+            lengths=cache.lengths, k_scale=None, v_scale=None,
         )
 
     if decode:
+        def layer_rows(arr):
+            """This layer's cache rows [B, Hkv, S, ...] for batch b0:b0+B."""
+            if isinstance(li, int) and not micro:
+                return arr[li]
+            sizes = (1, B) + arr.shape[2:]
+            idx = (li, b0) + (0,) * (arr.ndim - 2)
+            return jax.lax.dynamic_slice(arr, idx, sizes)[0]
+
         o = flash_decode(
             q[:, 0],                       # [B, Hq, D]
-            cache.k[li], cache.v[li], lengths + 1,
-            k_scale=None if not quantized else cache.k_scale[li],
-            v_scale=None if not quantized else cache.v_scale[li],
+            layer_rows(cache.k), layer_rows(cache.v), lengths + 1,
+            k_scale=None if not quantized else layer_rows(cache.k_scale),
+            v_scale=None if not quantized else layer_rows(cache.v_scale),
         )[:, None]                         # [B, 1, Hq, D]
     else:
         # prefill attends over the fresh bf16 K/V (the cache, possibly
@@ -261,14 +284,16 @@ def _mlp_block(layer: Params, cfg: ModelConfig, h: jax.Array,
 
 def _forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
              cache: KVCache, positions: jax.Array, *, decode: bool,
-             reduce_axis: str | None = None) -> tuple[jax.Array, KVCache]:
+             reduce_axis: str | None = None,
+             expert_axis: str | None = None) -> tuple[jax.Array, KVCache]:
     h = params["embed"][tokens]            # [B, T, dim]
     for li, layer in enumerate(params["layers"]):
         attn, cache = _attention_block(
             layer, cfg, h, cache, li, positions, decode=decode,
             reduce_axis=reduce_axis)
         h = h + attn
-        h = h + _mlp_block(layer, cfg, h, reduce_axis=reduce_axis)
+        h = h + _mlp_block(layer, cfg, h, reduce_axis=reduce_axis,
+                           expert_axis=expert_axis)
     h = rms_norm(h, params["final_norm"], cfg.rms_eps)
     logits = apply_linear(h[:, -1], params["lm_head"],
                           xq8=cfg.x_quant8)     # [B, vocab]
