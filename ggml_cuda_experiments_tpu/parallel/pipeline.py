@@ -66,12 +66,17 @@ def _index_layers(stacked, li: int):
 def pp_forward(params: llama.Params, cfg: ModelConfig, tokens: jax.Array,
                cache: llama.KVCache, *, decode: bool, n_micro: int,
                axis_name: str = "pipe", reduce_axis: str | None = None,
-               expert_axis: str | None = None
-               ) -> tuple[jax.Array, llama.KVCache]:
+               expert_axis: str | None = None, seq_axis: str | None = None,
+               attention_block=None) -> tuple[jax.Array, llama.KVCache]:
     """Pipelined forward (call inside shard_map; params["layers"] stacked
     and pipe-sharded, cache layer-dim pipe-sharded).
 
     tokens: [B, T] (T=1 for decode); B % n_micro == 0.
+    ``seq_axis``: prefill tokens are additionally sequence-sharded over
+    this axis (positions offset per shard; attention must be a
+    sequence-parallel ``attention_block``, e.g. parallel/full.py's).
+    ``attention_block``: drop-in replacement for llama._attention_block
+    (same signature) — the hook sequence parallelism plugs into.
     Returns (logits [B, vocab] — identical on every stage — and the
     updated local cache shard).
     """
@@ -82,11 +87,19 @@ def pp_forward(params: llama.Params, cfg: ModelConfig, tokens: jax.Array,
     b = B // n_micro
     layers = params["layers"]
     l_loc = jax.tree.leaves(layers)[0].shape[0]   # layers per stage
+    attn_block = attention_block or llama._attention_block
 
     if decode:
         positions = cache.lengths[:, None]
+        len_inc = 1
     else:
         positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
+        if seq_axis is not None:
+            # block-contiguous sequence sharding: this shard's tokens are
+            # global positions [i*T, (i+1)*T)
+            positions = positions + jax.lax.axis_index(seq_axis) * T
+        len_inc = T * (jax.lax.axis_size(seq_axis)
+                       if seq_axis is not None else 1)
 
     # embed all microbatches up front (embed table is replicated; only
     # stage 0's result enters the pipeline, the rest is dead code XLA DCEs)
@@ -115,7 +128,7 @@ def pp_forward(params: llama.Params, cfg: ModelConfig, tokens: jax.Array,
         h = inp
         for li in range(l_loc):
             layer = _index_layers(layers, li)
-            attn, cache = llama._attention_block(
+            attn, cache = attn_block(
                 layer, cfg, h, cache, li, pos, decode=decode,
                 reduce_axis=reduce_axis, b0=b0, valid=valid)
             h = h + attn
@@ -137,7 +150,7 @@ def pp_forward(params: llama.Params, cfg: ModelConfig, tokens: jax.Array,
 
     # broadcast the last stage's logits to every stage (only it wrote)
     logits_all = jax.lax.psum(logits_buf, axis_name).reshape(B, vocab)
-    cache = dataclasses.replace(cache, lengths=cache.lengths + T)
+    cache = dataclasses.replace(cache, lengths=cache.lengths + len_inc)
     return logits_all, cache
 
 
