@@ -28,6 +28,7 @@ import numpy as np
 
 from ggml_cuda_experiments_tpu.models.config import ModelConfig
 from ggml_cuda_experiments_tpu.models import llama
+from ggml_cuda_experiments_tpu.models.sampling import SamplingParams, sample
 from ggml_cuda_experiments_tpu.ops.paged_attention import paged_decode
 from ggml_cuda_experiments_tpu.ops.flash_attention import flash_attention
 
@@ -265,9 +266,14 @@ class Engine:
     def __init__(self, params: Params, cfg: ModelConfig, *,
                  max_batch: int = 8, page_size: int = 64,
                  n_pages: int = 256, max_seq_len: int | None = None,
-                 quantized_kv: bool = False, eos_id: int | None = None):
+                 quantized_kv: bool = False, eos_id: int | None = None,
+                 sampling: SamplingParams | None = None, seed: int = 0):
         self.params = params
         self.cfg = cfg
+        # default greedy (temperature 0); per-step PRNG folds the step count
+        self.sampling = sampling or SamplingParams(temperature=0.0)
+        self._key = jax.random.PRNGKey(seed)
+        self._step_no = 0
         self.max_batch = max_batch
         self.page_size = page_size
         self.max_seq_len = max_seq_len or cfg.max_seq_len
@@ -312,7 +318,7 @@ class Engine:
             self.params, self.cfg, jnp.asarray(self.tokens),
             jnp.asarray(self.lengths), jnp.asarray(self.page_table),
             self.pool, jnp.asarray(active), ppcb=self.ppcb)
-        next_tokens = np.asarray(jnp.argmax(logits, -1)).astype(np.int32)
+        next_tokens = np.asarray(self._sample(logits)).astype(np.int32)
 
         for req in list(self.running):
             s = req.slot
@@ -362,10 +368,15 @@ class Engine:
                 self.params, self.cfg, jnp.asarray(toks),
                 jnp.asarray(len(req.prompt), jnp.int32),
                 jnp.asarray(row), self.pool)
-            first = int(np.asarray(jnp.argmax(logits, -1))[0])
+            first = int(np.asarray(self._sample(logits))[0])
             req.generated.append(first)
             self.tokens[slot] = first
             self.lengths[slot] = len(req.prompt)
+
+    def _sample(self, logits: jax.Array) -> jax.Array:
+        self._step_no += 1
+        key = jax.random.fold_in(self._key, self._step_no)
+        return sample(logits, key, self.sampling)
 
     def _release(self, req: Request) -> None:
         self.running.remove(req)

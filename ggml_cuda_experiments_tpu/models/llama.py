@@ -322,19 +322,31 @@ def decode_step(params: Params, cfg: ModelConfig, tokens: jax.Array,
 
 
 def generate(params: Params, cfg: ModelConfig, prompt: jax.Array,
-             steps: int, cache: KVCache | None = None) -> np.ndarray:
-    """Greedy generation (host loop over a jitted, cache-donating step)."""
+             steps: int, cache: KVCache | None = None,
+             sampling=None, seed: int = 0) -> np.ndarray:
+    """Generation via a host loop over a jitted, cache-donating step.
+    Greedy by default; pass a ``sampling.SamplingParams`` for
+    temperature / top-k / top-p."""
+    from ggml_cuda_experiments_tpu.models.sampling import sample
+
     B, T = prompt.shape
     if cache is None:
         max_len = _round_up(T + steps, 256)
         cache = KVCache.create(cfg, B, max_len)
+    key = jax.random.PRNGKey(seed)
+
+    def pick(logits, i):
+        if sampling is None:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return sample(logits, jax.random.fold_in(key, i), sampling)
+
     logits, cache = prefill(params, cfg, prompt, cache)
     out = []
-    tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    for _ in range(steps):
+    tok = pick(logits, 0)
+    for i in range(steps):
         out.append(tok)
         logits, cache = decode_step(params, cfg, tok, cache)
-        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        tok = pick(logits, i + 1)
     return np.stack([np.asarray(t) for t in out], axis=1)
 
 
