@@ -285,7 +285,8 @@ def _mlp_block(layer: Params, cfg: ModelConfig, h: jax.Array,
 def _forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
              cache: KVCache, positions: jax.Array, *, decode: bool,
              reduce_axis: str | None = None,
-             expert_axis: str | None = None) -> tuple[jax.Array, KVCache]:
+             expert_axis: str | None = None,
+             all_logits: bool = False) -> tuple[jax.Array, KVCache]:
     h = params["embed"][tokens]            # [B, T, dim]
     for li, layer in enumerate(params["layers"]):
         attn, cache = _attention_block(
@@ -295,21 +296,25 @@ def _forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
         h = h + _mlp_block(layer, cfg, h, reduce_axis=reduce_axis,
                            expert_axis=expert_axis)
     h = rms_norm(h, params["final_norm"], cfg.rms_eps)
-    logits = apply_linear(h[:, -1], params["lm_head"],
-                          xq8=cfg.x_quant8)     # [B, vocab]
+    logits = apply_linear(h if all_logits else h[:, -1],
+                          params["lm_head"],
+                          xq8=cfg.x_quant8)   # [B(, T), vocab]
     cache = dataclasses.replace(
         cache, lengths=cache.lengths + tokens.shape[1])
     return logits.astype(jnp.float32), cache
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "all_logits"))
 def prefill(params: Params, cfg: ModelConfig, tokens: jax.Array,
-            cache: KVCache) -> tuple[jax.Array, KVCache]:
+            cache: KVCache, all_logits: bool = False
+            ) -> tuple[jax.Array, KVCache]:
     """Process a prompt [B, T] (T padded to the flash block size by caller);
-    returns last-position logits and the filled cache."""
+    returns last-position logits ([B, T, V] when ``all_logits``, for
+    perplexity evaluation) and the filled cache."""
     B, T = tokens.shape
     positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
-    return _forward(params, cfg, tokens, cache, positions, decode=False)
+    return _forward(params, cfg, tokens, cache, positions, decode=False,
+                    all_logits=all_logits)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
