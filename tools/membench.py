@@ -27,13 +27,19 @@ from ggml_cuda_experiments_tpu.ops.quant_matmul import permute_activations
 from ggml_cuda_experiments_tpu.utils.device_info import chip_spec
 
 
-def marginal(make, n_small=8, n_big=40):
+def marginal(make, n_small=16, n_big=64, reps=5):
+    """Best-of-reps marginal time per pass between two chain lengths (a
+    single run each is noise-dominated on the tunneled backend — host
+    fetch jitter is several ms)."""
     def run(n):
         f = make(n)
-        np.asarray(f())
-        t0 = time.perf_counter()
-        np.asarray(f())
-        return time.perf_counter() - t0
+        np.asarray(f())                        # compile + warm
+        best = np.inf
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(f())
+            best = min(best, time.perf_counter() - t0)
+        return best
     return (run(n_big) - run(n_small)) / (n_big - n_small)
 
 
