@@ -267,13 +267,16 @@ class Engine:
                  max_batch: int = 8, page_size: int = 64,
                  n_pages: int = 256, max_seq_len: int | None = None,
                  quantized_kv: bool = False, eos_id: int | None = None,
-                 sampling: SamplingParams | None = None, seed: int = 0):
+                 sampling: SamplingParams | None = None, seed: int = 0,
+                 scheduler: str = "python"):
         self.params = params
         self.cfg = cfg
         # default greedy (temperature 0); per-step PRNG folds the step count
         self.sampling = sampling or SamplingParams(temperature=0.0)
         self._key = jax.random.PRNGKey(seed)
         self._step_no = 0
+        assert scheduler in ("python", "native")
+        self._nsched = None
         self.max_batch = max_batch
         self.page_size = page_size
         self.max_seq_len = max_seq_len or cfg.max_seq_len
@@ -283,6 +286,14 @@ class Engine:
         # last page is the reserved trash page (padding / idle-slot writes)
         self.trash_page = n_pages - 1
         self.allocator = PageAllocator(n_pages - 1)
+        if scheduler == "native":
+            from ggml_cuda_experiments_tpu.utils import native_sched
+            assert native_sched.available(), (
+                "native scheduler requested but libgct_native.so not "
+                "built (make -C native)")
+            self._nsched = native_sched.NativeScheduler(
+                max_batch, n_pages - 1, self.pages_per_seq, page_size,
+                self.max_seq_len)
         self.eos_id = eos_id
         # largest pages-per-compute-block (<=4) dividing pages_per_seq
         self.ppcb = next(c for c in (4, 2, 1) if self.pages_per_seq % c == 0)
@@ -303,6 +314,8 @@ class Engine:
         rid = self._next_rid
         self._next_rid += 1
         self.waiting.append(Request(rid, list(prompt), max_new_tokens))
+        if self._nsched is not None:
+            self._nsched.add_request(rid, len(prompt), max_new_tokens)
         return rid
 
     def step(self) -> dict[int, list[int]]:
@@ -319,6 +332,24 @@ class Engine:
             jnp.asarray(self.lengths), jnp.asarray(self.page_table),
             self.pool, jnp.asarray(active), ppcb=self.ppcb)
         next_tokens = np.asarray(self._sample(logits)).astype(np.int32)
+
+        if self._nsched is not None:
+            # completion decisions from the native scheduler
+            hit = np.zeros((self.max_batch,), np.uint8)
+            for req in self.running:
+                s = req.slot
+                self.lengths[s] += 1
+                tok = int(next_tokens[s])
+                req.generated.append(tok)
+                self.tokens[s] = tok
+                if self.eos_id is not None and tok == self.eos_id:
+                    hit[s] = 1
+            for rid, slot in self._nsched.step_complete(hit):
+                req = self.slot_req[slot]
+                assert req is not None and req.rid == rid
+                finished[rid] = list(req.generated)
+                self._release(req)
+            return finished
 
         for req in list(self.running):
             s = req.slot
@@ -344,6 +375,17 @@ class Engine:
     # -- internals ---------------------------------------------------------
 
     def _admit(self) -> None:
+        if self._nsched is not None:
+            for rid, slot, row in self._nsched.admit():
+                req = next(r for r in self.waiting if r.rid == rid)
+                self.waiting.remove(req)
+                req.slot = slot
+                req.pages = [int(p) for p in row if p != self.trash_page]
+                self.slot_req[slot] = req
+                self.running.append(req)
+                self.page_table[slot] = row.astype(np.int32)
+                self._prefill_slot(req, slot, self.page_table[slot])
+            return
         while self.waiting and len(self.running) < self.max_batch:
             req = self.waiting[0]
             need = -(-min(len(req.prompt) + req.max_new_tokens,
@@ -359,19 +401,22 @@ class Engine:
             row = np.full((self.pages_per_seq,), self.trash_page, np.int32)
             row[:len(pages)] = pages
             self.page_table[slot] = row
+            self._prefill_slot(req, slot, row)
 
-            # prefill (T padded to a flash block multiple)
-            T = max(16, 1 << (len(req.prompt) - 1).bit_length())
-            toks = np.zeros((1, T), np.int32)
-            toks[0, :len(req.prompt)] = req.prompt
-            logits, self.pool = paged_prefill(
-                self.params, self.cfg, jnp.asarray(toks),
-                jnp.asarray(len(req.prompt), jnp.int32),
-                jnp.asarray(row), self.pool)
-            first = int(np.asarray(self._sample(logits))[0])
-            req.generated.append(first)
-            self.tokens[slot] = first
-            self.lengths[slot] = len(req.prompt)
+    def _prefill_slot(self, req: Request, slot: int, row: np.ndarray
+                      ) -> None:
+        """Prefill (T padded to a flash block multiple) + first token."""
+        T = max(16, 1 << (len(req.prompt) - 1).bit_length())
+        toks = np.zeros((1, T), np.int32)
+        toks[0, :len(req.prompt)] = req.prompt
+        logits, self.pool = paged_prefill(
+            self.params, self.cfg, jnp.asarray(toks),
+            jnp.asarray(len(req.prompt), jnp.int32),
+            jnp.asarray(row), self.pool)
+        first = int(np.asarray(self._sample(logits))[0])
+        req.generated.append(first)
+        self.tokens[slot] = first
+        self.lengths[slot] = len(req.prompt)
 
     def _sample(self, logits: jax.Array) -> jax.Array:
         self._step_no += 1
@@ -381,7 +426,8 @@ class Engine:
     def _release(self, req: Request) -> None:
         self.running.remove(req)
         self.slot_req[req.slot] = None
-        self.allocator.release(req.pages)
+        if self._nsched is None:           # native released its own pages
+            self.allocator.release(req.pages)
         self.lengths[req.slot] = 1
         self.tokens[req.slot] = 0
         self.page_table[req.slot] = self.trash_page
