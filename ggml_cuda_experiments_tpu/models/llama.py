@@ -425,9 +425,13 @@ _LINEAR_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 
 
 def quantize_params(params: Params, fmt: str, *, quantize_head: bool = True,
-                    pad_intermediate: bool = True, fuse: bool = True
-                    ) -> Params:
+                    pad_intermediate: bool = True, fuse: bool = True,
+                    head_fmt: str | None = None) -> Params:
     """Quantize every big linear to ``fmt`` (embed/norms stay dense).
+
+    ``head_fmt``: optional different format for the lm_head (llama.cpp's
+    Q4_K_M mix stores output.weight as Q6_K: fmt="q4_k",
+    head_fmt="q6_k").
 
     ``pad_intermediate``: zero-pad the MLP intermediate dimension up to a
     multiple of 4096 when that costs < 15% extra bytes (e.g. 7B's
@@ -471,5 +475,5 @@ def quantize_params(params: Params, fmt: str, *, quantize_head: bool = True,
         out["layers"].append(ql)
     if quantize_head:
         out["lm_head"] = quantize(np.asarray(params["lm_head"], np.float32),
-                                  fmt)
+                                  head_fmt or fmt)
     return out

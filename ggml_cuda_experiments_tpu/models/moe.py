@@ -46,6 +46,7 @@ def _expert_slice(w, e: int):
             d=None if w.d is None else w.d[e],
             es=None if w.es is None else w.es[e],
             em=None if w.em is None else w.em[e],
+            qh=None if w.qh is None else w.qh[e],
         )
     return w[e]
 
@@ -60,7 +61,8 @@ def stack_expert_quant(qls: list[QuantLinear]) -> QuantLinear:
         return None if vals[0] is None else jnp.stack(vals)
 
     return QuantLinear(fmt=ref.fmt, shape=ref.shape, qs=cat("qs"),
-                       d=cat("d"), es=cat("es"), em=cat("em"))
+                       d=cat("d"), es=cat("es"), em=cat("em"),
+                       qh=cat("qh"))
 
 
 def n_local_experts(w) -> int:

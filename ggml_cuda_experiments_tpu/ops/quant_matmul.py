@@ -1,4 +1,5 @@
-"""Fused block-dequant matmul/matvec Pallas kernels (Q8_0 / Q4_0 / Q4_K).
+"""Fused block-dequant matmul/matvec Pallas kernels
+(Q8_0 / Q4_0 / Q4_K / Q6_K).
 
 The BASELINE.json north-star subsystem: GGML-style weight-only block
 quantization dequantized *inside* the matmul kernel, so decode-time matvecs
@@ -100,6 +101,30 @@ def _inv_perm(k: int) -> np.ndarray:
     return np.argsort(_perm(k))
 
 
+@functools.cache
+def _perm_q6(k: int) -> np.ndarray:
+    """q6_k device lane order: 2-level (K/16, 16) -> (16, K/16) transpose,
+    so the 16-element scale-block index of lane j is ``j mod (K/16)``
+    (scale blocks land in natural order on the lane axis)."""
+    assert k % QK_K == 0, f"K={k} must be a multiple of {QK_K} for q6_k"
+    kb = k // 16
+    return (np.arange(k).reshape(kb, 16).transpose(1, 0).reshape(k))
+
+
+@functools.cache
+def _inv_perm_q6(k: int) -> np.ndarray:
+    return np.argsort(_perm_q6(k))
+
+
+def permute_activations_q6(x: jax.Array) -> jax.Array:
+    """q6_k activation order (16-element blocks; one transpose)."""
+    *lead, k = x.shape
+    nl = len(lead)
+    return (x.reshape(*lead, k // 16, 16)
+            .transpose(*range(nl), nl + 1, nl)
+            .reshape(*lead, k))
+
+
 def permute_activations(x: jax.Array) -> jax.Array:
     """Reorder x [..., K] into the interleaved column order (one transpose)."""
     *lead, k = x.shape
@@ -133,6 +158,10 @@ class QuantLinear:
       q4_0: qs uint8 [N, K/2],  d  f32  [N, K/32]          (q - 8 at dequant)
       q4_k: qs uint8 [N, K/2],  es bf16 [N, K/32], em bf16 [N, K/32]
             ("Q4_K-E": effective scales/mins, see module docstring)
+      q6_k: qs int8  [N, K/2] (low-4-bit halves, signed-friendly packed),
+            qh int8  [N, K/4] (2-bit planes: byte i = lanes i, i+K/4,
+            i+K/2, i+3K/4), es bf16 [N, K/16] ("Q6_K-E": d*sc effective
+            per-16-block scales; 16-block lane order, see _perm_q6)
     """
 
     fmt: str = dataclasses.field(metadata=dict(static=True))
@@ -143,6 +172,7 @@ class QuantLinear:
     d: jax.Array = None
     es: jax.Array | None = None
     em: jax.Array | None = None
+    qh: jax.Array | None = None
 
     @property
     def array_shape(self) -> tuple[int, int]:
@@ -153,7 +183,7 @@ class QuantLinear:
     @property
     def nbytes(self) -> int:
         return sum(f.size * f.dtype.itemsize
-                   for f in (self.qs, self.d, self.es, self.em)
+                   for f in (self.qs, self.d, self.es, self.em, self.qh)
                    if f is not None)
 
 
@@ -161,10 +191,17 @@ _FIELDS = {
     "q8_0": ("qs", "d"),
     "q4_0": ("qs", "d"),
     "q4_k": ("qs", "es", "em"),
+    "q6_k": ("qs", "qh", "es"),
 }
 
-# lanes per row of each field, as a divisor of K
-_LANE_DIV = {"qs_q8": 1, "qs_q4": 2, "d": QK, "es": QK, "em": QK}
+
+def _lane_div(fmt: str, field: str) -> int:
+    """Lanes-per-row divisor of K for each device field."""
+    if field == "qs":
+        return 1 if fmt == "q8_0" else 2
+    if fmt == "q6_k":
+        return {"qh": 4, "es": 16}[field]
+    return QK        # d / es / em of the 32-block formats
 
 
 def _pack_halves(q_dev: np.ndarray) -> np.ndarray:
@@ -220,6 +257,25 @@ def from_oracle(t) -> QuantLinear:
             qs=jnp.asarray(_pack_halves(q[:, p])),
             es=jnp.asarray(es[:, p32]),
             em=jnp.asarray(em[:, p32]))
+    if isinstance(t, quant_ref.Q6_K):
+        p6 = _perm_q6(k)
+        v = t.qs[:, p6]                       # uint8 0..63, lane order
+        lo4 = v & 0x0F
+        hi2 = v >> 4                          # 2-bit high planes
+        kq = k // 4
+        qh = (hi2[:, :kq] | (hi2[:, kq:2 * kq] << 2)
+              | (hi2[:, 2 * kq:3 * kq] << 4)
+              | (hi2[:, 3 * kq:] << 6)).astype(np.uint8).view(np.int8)
+        # effective per-16-block scale (signed: sc is int8); bf16 rounding
+        # is ~0.4%, inside the 6-bit step (~1.6%) — same budget argument as
+        # Q4_K-E. Scale-block lane order is natural under _perm_q6.
+        es = (np.repeat(t.d, QK_K // 16, axis=-1)
+              * t.sc.astype(np.float32)).astype(ml_dtypes.bfloat16)
+        return QuantLinear(
+            fmt="q6_k", shape=(n, k),
+            qs=jnp.asarray(_pack_halves(lo4)),
+            qh=jnp.asarray(qh),
+            es=jnp.asarray(es))
     raise TypeError(f"unsupported oracle tensor {type(t)}")
 
 
@@ -314,6 +370,97 @@ def _chunk_kernel(a_ref, b_ref, sc_ref, qs_ref, s1_ref, s2_ref, o_ref, *,
     em = 8.0 * es if fmt == "q4_0" else s2_ref[...].astype(jnp.float32)
     y = es * (z + sc_ref[0:1]) - em * sc_ref[1:2]     # [bn, Kb]
     o_ref[...] = jnp.sum(y, axis=1)[None, :]
+
+
+# ---------------------------------------------------------------------------
+# chunk-fold q6_k matvec kernel (B == 1, K/16 % 128 == 0)
+# ---------------------------------------------------------------------------
+
+def _chunk6_kernel(a_ref, b_ref, sc_ref, qs_ref, qh_ref, s1_ref, o_ref, *,
+                   n_chunks: int):
+    """q6_k = the q4 chunk kernel plus a 2-bit plane. Per lane pair
+    (i, i+K/2) with true nibbles lo/hi and 6-bit value q = nib + 16*h - 32:
+
+        q_i*xl_i + q_{i+K/2}*xh_i
+          = [p_i*xl_i + hi4_i*(xh_i - 16*xl_i)]            (4-bit part,
+            + 128*xl_i                                      signed-friendly)
+          + 16*(h_i*xl_i + h_{i+K/2}*xh_i)                 (2-bit part)
+          - 32*(xl_i + xh_i)
+
+    The 2-bit planes come 4-to-a-byte covering lanes (i, i+K/4, i+K/2,
+    i+3K/4) — extraction is int32 shifts/ands on quarter-width tiles (no
+    lane expand, the same no-shuffle property as the nibble halves). The
+    per-block constants (128*xsl - 32*xs) fold into sc_ref[0] outside."""
+    p = qs_ref[...]                                   # [bn, K/2] int8
+    pf = p.astype(jnp.float32)
+    hi4 = jnp.floor(pf * 0.0625 + 8.0)
+    t = pf * a_ref[...] + hi4 * b_ref[...]            # [bn, K/2]
+
+    u = qh_ref[...].astype(jnp.int32) & 255           # [bn, K/4] 0..255
+    kq = u.shape[1]
+    xl1 = a_ref[0:1, :kq]
+    xl2 = a_ref[0:1, kq:]
+    xh1 = b_ref[0:1, :kq] + 16.0 * xl1                # xh = b + 16a
+    xh2 = b_ref[0:1, kq:] + 16.0 * xl2
+    t2 = ((u & 3).astype(jnp.float32) * xl1
+          + ((u >> 2) & 3).astype(jnp.float32) * xl2
+          + ((u >> 4) & 3).astype(jnp.float32) * xh1
+          + ((u >> 6) & 3).astype(jnp.float32) * xh2)  # [bn, K/4]
+
+    kb = s1_ref.shape[1]
+    z = t[:, :kb]
+    for s in range(1, n_chunks):
+        z = z + t[:, s * kb:(s + 1) * kb]
+    z2 = t2[:, :kb]
+    for s in range(1, n_chunks // 2):
+        z2 = z2 + t2[:, s * kb:(s + 1) * kb]
+    es = s1_ref[...].astype(jnp.float32)
+    y = es * (z + 16.0 * z2 + sc_ref[0:1])            # [bn, kb]
+    o_ref[...] = jnp.sum(y, axis=1)[None, :]
+
+
+def _qmatmul_chunk6(xp, ql, N, K, kb, block_n, out_dtype, interpret):
+    """Dispatch for the q6_k chunk-fold matvec (see _chunk6_kernel).
+    xp is in the q6 (16-block) lane order."""
+    kh = K // 2
+    bn = block_n or max(128, (8_388_608 // K) // 128 * 128)
+    bn = min(bn, N)
+    Np = -(-N // bn) * bn
+
+    def pad_rows(a):
+        return (jnp.pad(a, ((0, Np - a.shape[0]), (0, 0)))
+                if a.shape[0] != Np else a)
+
+    arrays = [pad_rows(getattr(ql, f)) for f in _FIELDS["q6_k"]]
+    xl, xh = xp[0, :kh], xp[0, kh:]
+    a = xl[None, :]
+    bvec = (xh - 16.0 * xl)[None, :]
+    c = (128.0 * xl.reshape(-1, kb).sum(0)
+         - 32.0 * (xl + xh).reshape(-1, kb).sum(0))
+    sc = c[None, :]                                    # [1, kb]
+    out = pl.pallas_call(
+        functools.partial(_chunk6_kernel, n_chunks=kh // kb),
+        out_shape=jax.ShapeDtypeStruct((1, Np), jnp.float32),
+        grid=(Np // bn,),
+        in_specs=[
+            pl.BlockSpec((1, kh), lambda n: (0, 0)),
+            pl.BlockSpec((1, kh), lambda n: (0, 0)),
+            pl.BlockSpec((1, kb), lambda n: (0, 0)),
+            pl.BlockSpec((bn, kh), lambda n: (n, 0)),
+            pl.BlockSpec((bn, K // 4), lambda n: (n, 0)),
+            pl.BlockSpec((bn, kb), lambda n: (n, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bn), lambda n: (0, n)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * K,
+            bytes_accessed=sum(a_.size * a_.dtype.itemsize
+                               for a_ in arrays) + K * 4 + Np * 4,
+            transcendentals=0),
+        interpret=interpret_default(interpret),
+    )(a, bvec, sc, *arrays)
+    return out[:, :N].astype(out_dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -466,6 +613,14 @@ def qmatmul(
     assert x.shape[1] == K, f"x K={x.shape[1]} vs weight K={K}"
     if out_dtype is None:
         out_dtype = x.dtype
+    if ql.fmt == "q6_k":
+        kb6 = K // 16
+        if B == 1 and kb6 % 128 == 0:
+            xp6 = permute_activations_q6(x.astype(jnp.float32))
+            return _qmatmul_chunk6(xp6, ql, N, K, kb6, block_n, out_dtype,
+                                   interpret)
+        return qmatmul_xla(x, ql, compute_dtype=jnp.float32
+                           if compute_dtype == jnp.float32 else jnp.bfloat16)
     kb = K // QK
     if use_vpu is None:
         # VPU matvec by default only at B == 1: the B-looped variant
@@ -527,10 +682,8 @@ def qmatmul(
                 out_shape=jax.ShapeDtypeStruct((1, Np), out_dtype),
                 grid=(Np // bn,),
                 in_specs=[pl.BlockSpec((1, K), lambda n: (0, 0))]
-                + [pl.BlockSpec(
-                    (bn, K // _LANE_DIV["qs_q8" if (f == "qs" and
-                     ql.fmt == "q8_0") else ("qs_q4" if f == "qs" else f)]),
-                    lambda n: (n, 0)) for f in fields],
+                + [pl.BlockSpec((bn, K // _lane_div(ql.fmt, f)),
+                                lambda n: (n, 0)) for f in fields],
                 out_specs=pl.BlockSpec((1, bn), lambda n: (0, n)),
                 compiler_params=pltpu.CompilerParams(
                     dimension_semantics=("arbitrary",)),
@@ -568,8 +721,7 @@ def qmatmul(
         xp = jnp.pad(xp, ((0, Bp - B), (0, 0)))
     in_specs = [pl.BlockSpec((Bp, K), lambda n: (0, 0))]
     for f in fields:
-        div = _LANE_DIV["qs_q8" if (f == "qs" and ql.fmt == "q8_0")
-                        else ("qs_q4" if f == "qs" else f)]
+        div = _lane_div(ql.fmt, f)
         in_specs.append(pl.BlockSpec((bn, K // div), lambda n: (n, 0)))
 
     out = pl.pallas_call(
@@ -761,8 +913,7 @@ def _qmatmul_pipelined(xp, ql, B, N, K, kb, block_n, out_dtype, interpret):
 
     in_specs = [pl.BlockSpec((Bp, K), lambda i: (0, 0))]
     for f in fields:
-        div = _LANE_DIV["qs_q8" if (f == "qs" and ql.fmt == "q8_0")
-                        else ("qs_q4" if f == "qs" else f)]
+        div = _lane_div(ql.fmt, f)
         in_specs.append(pl.BlockSpec((bn, K // div), wmap))
 
     out = pl.pallas_call(
@@ -786,6 +937,19 @@ def _qmatmul_pipelined(xp, ql, B, N, K, kb, block_n, out_dtype, interpret):
 
 def dequantize_jnp(ql: QuantLinear, dtype=jnp.float32) -> jax.Array:
     """XLA-only dequantization to a dense *logical-order* [N, K] array."""
+    if ql.fmt == "q6_k":
+        p = ql.qs.astype(jnp.int32)                   # signed-friendly bytes
+        lo = (p & 0xF).astype(jnp.float32)
+        hi = (((p >> 4) & 0xF) ^ 8).astype(jnp.float32)
+        nib = jnp.concatenate([lo, hi], axis=1)       # [N, K] lane order
+        u = ql.qh.astype(jnp.int32) & 255
+        h = jnp.concatenate(
+            [u & 3, (u >> 2) & 3, (u >> 4) & 3, (u >> 6) & 3],
+            axis=1).astype(jnp.float32)
+        es = jnp.tile(ql.es.astype(jnp.float32), (1, 16))
+        wp = es * (nib + 16.0 * h - 32.0)
+        inv = jnp.asarray(_inv_perm_q6(ql.array_shape[1]))
+        return wp[:, inv].astype(dtype)
     refs = {f: getattr(ql, f) for f in _FIELDS[ql.fmt]}
 
     class _A:  # adapt arrays to the ref[...] protocol used by the kernel

@@ -32,6 +32,7 @@ Dequant formulas (the contract the kernels implement):
     Q8_0:  x = d * q                        q in [-127, 127]
     Q4_0:  x = d * (q - 8)                  q in [0, 15]
     Q4_K:  x = (d * sc) * q - (dmin * mn)   q in [0, 15], per 32-subblock
+    Q6_K:  x = (d * sc) * (q - 32)          q in [0, 63], per 16-subblock
 """
 
 from __future__ import annotations
@@ -219,6 +220,72 @@ def dequantize_q4_k(t: Q4_K) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Q6_K
+# ---------------------------------------------------------------------------
+
+QK6 = 16         # elements per Q6_K scale block (16 per 256-superblock)
+
+
+@dataclasses.dataclass
+class Q6_K:
+    """Planar Q6_K tensor: symmetric 6-bit, int8 scales per 16-element
+    sub-block of a 256-element superblock (llama.cpp stores output heads
+    and attn_v in Q6_K for the *_K_M mixes).
+
+    x ≈ (d * sc_j) * (q - 32) for 16-element sub-block j; q in [0, 63].
+    The oracle keeps q unpacked (one uint8 per element); the GGML ql/qh
+    bit-packing lives in utils/gguf.py and the device packing in
+    ops/quant_matmul.py.
+    """
+    qs: np.ndarray   # uint8 values 0..63 (= q + 32), shape [..., N]
+    sc: np.ndarray   # int8 sub-scales, shape [..., N // 16]
+    d: np.ndarray    # float32 (fp16-rounded), shape [..., N // 256]
+    shape: tuple
+
+    @property
+    def bits_per_weight(self) -> float:
+        # = GGML's 210 bytes / 256 elements = 6.5625
+        return 6 + 8 / QK6 + 16 / QK_K
+
+
+def quantize_q6_k(x: np.ndarray) -> Q6_K:
+    x = np.asarray(x, np.float32)
+    *lead, n = x.shape
+    assert n % QK_K == 0, f"last dim {n} must be a multiple of {QK_K}"
+    nsb = n // QK_K
+    xb = x.reshape(*lead, nsb, QK_K // QK6, QK6)   # 16 sub-blocks of 16
+
+    # per-sub-block signed scale: the max-|x| value maps to q = -32 exactly
+    idx = np.argmax(np.abs(xb), axis=-1, keepdims=True)
+    maxv = np.take_along_axis(xb, idx, axis=-1)[..., 0]
+    scale_f = maxv / -32.0                          # [..., nsb, 16]
+
+    d = _f16_round(np.max(np.abs(scale_f), axis=-1) / 127.0)   # [..., nsb]
+    inv_d = np_div(np.ones_like(d), d)
+    sc = np.clip(np.round(scale_f * inv_d[..., None]),
+                 -127, 127).astype(np.int8)
+
+    # quantize against the decoded scale so dequant inverts exactly
+    eff = d[..., None] * sc.astype(np.float32)      # [..., nsb, 16]
+    inv_s = np_div(np.ones_like(eff), eff)
+    q = np.clip(np.round(xb * inv_s[..., None]), -32, 31) + 32
+    return Q6_K(
+        qs=q.astype(np.uint8).reshape(*lead, n),
+        sc=sc.reshape(*lead, n // QK6),
+        d=d, shape=tuple(x.shape),
+    )
+
+
+def dequantize_q6_k(t: Q6_K) -> np.ndarray:
+    *lead, n = t.shape
+    nsb = n // QK_K
+    q = t.qs.reshape(*lead, n // QK6, QK6).astype(np.float32) - 32.0
+    sc = t.sc.reshape(*lead, nsb, QK_K // QK6).astype(np.float32)
+    eff = (t.d[..., None] * sc).reshape(*lead, n // QK6)
+    return (q * eff[..., None]).reshape(t.shape)
+
+
+# ---------------------------------------------------------------------------
 # INT8 per-row (KV-cache) quantization — used by the quantized KV cache
 # ---------------------------------------------------------------------------
 
@@ -240,4 +307,5 @@ FORMATS = {
     "q8_0": (quantize_q8_0, dequantize_q8_0),
     "q4_0": (quantize_q4_0, dequantize_q4_0),
     "q4_k": (quantize_q4_k, dequantize_q4_k),
+    "q6_k": (quantize_q6_k, dequantize_q6_k),
 }

@@ -63,6 +63,7 @@ def _linear_spec(w, axis: int):
             d=None if w.d is None else sub,
             es=None if w.es is None else sub,
             em=None if w.em is None else sub,
+            qh=None if w.qh is None else sub,
         )
     return P("model", None) if axis == 0 else P(None, "model")
 
@@ -122,7 +123,7 @@ def shard_quant_linear(w: np.ndarray, fmt: str, k_shards: int) -> QuantLinear:
         return jnp.concatenate(vals, axis=vals[0].ndim - 1)
 
     return QuantLinear(fmt=fmt, shape=(n, k), qs=cat("qs"), d=cat("d"),
-                       es=cat("es"), em=cat("em"))
+                       es=cat("es"), em=cat("em"), qh=cat("qh"))
 
 
 def quantize_params_sharded(params: llama.Params, fmt: str, n_model: int

@@ -15,7 +15,6 @@ Wire layouts implemented (GGML block structs -> planar):
     Q4_K 144 B / 256 elems: f16 d | f16 dmin | 12 B packed 6-bit sc/mn |
                             128 B nibbles (per-64 chunk: lo=i, hi=i+32)
     Q6_K 210 B / 256 elems: 128 B ql | 64 B qh | 16x i8 scales | f16 d
-                            (dequantized to f32 on load; no Q6 kernel)
     F32 / F16 / BF16 passthrough.
 
 GGUF dims note: ne[0] is the contiguous (fastest) axis, so the numpy shape
@@ -243,32 +242,37 @@ def decode_tensor(raw: np.ndarray, ggml_type: int, shape: tuple[int, ...]):
                       dmin=dmin.reshape(*lead, k // 256), shape=shape)
 
     if ggml_type == GGML_Q6_K:
-        return _dequantize_q6_k(blocks, shape)
+        return _decode_q6_k(blocks, shape)
 
     raise ValueError(f"unsupported GGML type {ggml_type}")
 
 
-def _dequantize_q6_k(blocks: np.ndarray, shape) -> np.ndarray:
-    """Q6_K -> float32 (llama.cpp stores some output heads as Q6_K; there
-    is no Q6 kernel here, so it re-quantizes downstream)."""
+def _decode_q6_k(blocks: np.ndarray, shape) -> "q.Q6_K":
+    """Q6_K wire blocks -> planar oracle Q6_K (zero-requantize; the fused
+    q6_k kernel consumes it directly)."""
+    lead, k = shape[:-1], shape[-1]
     nsb = blocks.shape[0]
     ql = blocks[:, :128].reshape(nsb, 2, 64)
     qh = blocks[:, 128:192].reshape(nsb, 2, 32)
-    scales = blocks[:, 192:208].view(np.int8)            # [nsb, 16]
+    scales = blocks[:, 192:208].view(np.int8).copy()     # [nsb, 16]
     d = blocks[:, 208:210].copy().view(np.float16)[:, 0].astype(np.float32)
 
-    vals = np.empty((nsb, 2, 128), np.int8)
+    vals = np.empty((nsb, 2, 128), np.uint8)             # 6-bit 0..63
     lo = ql & 0x0F
     hi = ql >> 4
     for i, (src, shift) in enumerate(
             [(lo[:, :, :32], 0), (lo[:, :, 32:], 2),
              (hi[:, :, :32], 4), (hi[:, :, 32:], 6)]):
         bits = ((qh >> shift) & 3).astype(np.uint8)
-        vals[:, :, 32 * i:32 * (i + 1)] = (
-            (src | (bits << 4)).astype(np.int8) - 32)
-    vals = vals.reshape(nsb, 256).astype(np.float32)
-    sc = np.repeat(scales.astype(np.float32), 16, axis=-1)
-    return (d[:, None] * sc * vals).reshape(shape)
+        vals[:, :, 32 * i:32 * (i + 1)] = src | (bits << 4)
+    return q.Q6_K(qs=vals.reshape(shape),
+                  sc=scales.reshape(*lead, k // 16),
+                  d=d.reshape(*lead, k // 256), shape=shape)
+
+
+def _dequantize_q6_k(blocks: np.ndarray, shape) -> np.ndarray:
+    """Q6_K wire -> float32 (kept for tools that want dense floats)."""
+    return q.dequantize_q6_k(_decode_q6_k(blocks, shape))
 
 
 # ---------------------------------------------------------------------------
@@ -311,6 +315,24 @@ def encode_tensor(t) -> tuple[np.ndarray, int]:
         out[:, 16:144] = (v64[:, :, :32] | (v64[:, :, 32:] << 4)).reshape(
             nsb, 128)
         return out.reshape(-1), GGML_Q4_K
+
+    if isinstance(t, q.Q6_K):
+        nsb = n // 256
+        out = np.empty((nsb, 210), np.uint8)
+        vals = t.qs.reshape(nsb, 2, 4, 32)       # [nsb, half, group, 32]
+        lo4 = vals & 0x0F
+        hi2 = vals >> 4                           # 2-bit planes
+        ql = np.empty((nsb, 2, 64), np.uint8)
+        ql[:, :, :32] = lo4[:, :, 0] | (lo4[:, :, 2] << 4)
+        ql[:, :, 32:] = lo4[:, :, 1] | (lo4[:, :, 3] << 4)
+        qh = (hi2[:, :, 0] | (hi2[:, :, 1] << 2)
+              | (hi2[:, :, 2] << 4) | (hi2[:, :, 3] << 6))
+        out[:, :128] = ql.reshape(nsb, 128)
+        out[:, 128:192] = qh.reshape(nsb, 64)
+        out[:, 192:208] = t.sc.reshape(nsb, 16).view(np.uint8)
+        out[:, 208:210] = t.d.reshape(nsb, 1).astype(np.float16).view(
+            np.uint8)
+        return out.reshape(-1), GGML_Q6_K
 
     raise TypeError(f"cannot encode {type(t)}")
 
@@ -441,9 +463,10 @@ def load_gguf(path: str, *, requantize: str | None = None,
     """Load a llama.cpp GGUF checkpoint -> (params pytree, ModelConfig).
 
     Quantized linears become device QuantLinear tensors (zero-requantize
-    for q4_0/q8_0/q4_k; Q6_K and float tensors are requantized to
-    ``requantize`` when set, else kept dense bf16). Norms/embeddings are
-    dense bf16.
+    for q4_0/q8_0/q4_k/q6_k — including the Q6_K output/v heads of
+    llama.cpp *_K_M files, which run on the fused q6 kernel); float
+    tensors are requantized to ``requantize`` when set, else kept dense
+    bf16. Norms/embeddings are dense bf16.
     """
     import jax.numpy as jnp
     from ggml_cuda_experiments_tpu.ops.quant_matmul import (

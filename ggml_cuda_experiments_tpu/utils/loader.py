@@ -40,7 +40,7 @@ _DTYPES = {0: np.dtype(np.float32), 1: np.dtype(np.float16),
 _CODES = {v: k for k, v in _DTYPES.items()}
 _ALIGN = 64
 
-_QFIELDS = ("qs", "d", "es", "em")
+_QFIELDS = ("qs", "d", "es", "em", "qh")
 
 
 # ---------------------------------------------------------------------------
@@ -188,6 +188,7 @@ def load_params(path, mesh=None, lazy: bool = True) -> dict[str, Any]:
             d=jnp.asarray(q["d"]) if "d" in q else None,
             es=jnp.asarray(q["es"]) if "es" in q else None,
             em=jnp.asarray(q["em"]) if "em" in q else None,
+            qh=jnp.asarray(q["qh"]) if "qh" in q else None,
         )
         _set_path(tree, prefix, ql)
 

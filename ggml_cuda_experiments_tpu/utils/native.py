@@ -39,6 +39,11 @@ def _lib():
     lib.gct_dequantize_q4_0.argtypes = [_u8p, _f32p, _f32p, _i64, _i64, _int]
     lib.gct_dequantize_q4_k.argtypes = [_u8p, _u8p, _u8p, _f32p, _f32p,
                                         _f32p, _i64, _i64, _int]
+    if hasattr(lib, "gct_quantize_q6_k"):   # older prebuilt .so may lack it
+        lib.gct_quantize_q6_k.argtypes = [_f32p, _u8p, _i8p, _f32p,
+                                          _i64, _i64, _int]
+        lib.gct_dequantize_q6_k.argtypes = [_u8p, _i8p, _f32p, _f32p,
+                                            _i64, _i64, _int]
     return lib
 
 
@@ -88,15 +93,28 @@ def quantize(x: np.ndarray, fmt: str):
             mn=mn.reshape(*shape[:-1], k // 32),
             d=d.reshape(*shape[:-1], k // 256),
             dmin=dmin.reshape(*shape[:-1], k // 256), shape=shape)
+    if fmt == "q6_k" and hasattr(lib, "gct_quantize_q6_k"):
+        qs = np.empty((n, k), np.uint8)
+        sc = np.empty((n, k // 16), np.int8)
+        d = np.empty((n, k // 256), np.float32)
+        lib.gct_quantize_q6_k(x2, qs, sc, d, n, k, _NTHREADS)
+        return quant_ref.Q6_K(
+            qs=qs.reshape(shape),
+            sc=sc.reshape(*shape[:-1], k // 16),
+            d=d.reshape(*shape[:-1], k // 256), shape=shape)
+    if fmt in quant_ref.FORMATS:         # formats without a native codec
+        return quant_ref.FORMATS[fmt][0](x)
     raise ValueError(fmt)
 
 
 def dequantize(t) -> np.ndarray:
     lib = _lib()
-    if lib is None:
+    if lib is None or (isinstance(t, quant_ref.Q6_K)
+                       and not hasattr(lib, "gct_dequantize_q6_k")):
+        classes = {"q8_0": quant_ref.Q8_0, "q4_0": quant_ref.Q4_0,
+                   "q4_k": quant_ref.Q4_K, "q6_k": quant_ref.Q6_K}
         for fmt, (_, deq) in quant_ref.FORMATS.items():
-            if isinstance(t, {"q8_0": quant_ref.Q8_0, "q4_0": quant_ref.Q4_0,
-                              "q4_k": quant_ref.Q4_K}[fmt]):
+            if isinstance(t, classes[fmt]):
                 return deq(t)
         raise TypeError(type(t))
     *lead, k = t.shape
@@ -119,6 +137,12 @@ def dequantize(t) -> np.ndarray:
             np.ascontiguousarray(t.mn).reshape(n, k // 32),
             np.ascontiguousarray(t.d, np.float32).reshape(n, k // 256),
             np.ascontiguousarray(t.dmin, np.float32).reshape(n, k // 256),
+            out, n, k, _NTHREADS)
+    elif isinstance(t, quant_ref.Q6_K):
+        lib.gct_dequantize_q6_k(
+            np.ascontiguousarray(t.qs).reshape(n, k),
+            np.ascontiguousarray(t.sc).reshape(n, k // 16),
+            np.ascontiguousarray(t.d, np.float32).reshape(n, k // 256),
             out, n, k, _NTHREADS)
     else:
         raise TypeError(type(t))

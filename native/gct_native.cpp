@@ -200,6 +200,53 @@ static void q4_k_rows(const float *x, uint8_t *qs, uint8_t *sc, uint8_t *mn,
 }
 
 // ---------------------------------------------------------------------------
+// Q6_K: 256-elem superblocks, 16 sub-blocks of 16, int8 sub-scales
+// (oracle quantize_q6_k: d = max|scale|/127, scale = signed-absmax/-32)
+// ---------------------------------------------------------------------------
+
+static void q6_k_rows(const float *x, uint8_t *qs, int8_t *sc, float *d,
+                      int64_t row0, int64_t row1, int64_t k) {
+    const int64_t nsb = k / 256;
+    for (int64_t r = row0; r < row1; ++r) {
+        const float *xr = x + r * k;
+        uint8_t *qr = qs + r * k;
+        int8_t *scr = sc + r * (k / 16);
+        float *drr = d + r * nsb;
+        for (int64_t s = 0; s < nsb; ++s) {
+            const float *xs = xr + s * 256;
+            float scale_f[16];
+            for (int j = 0; j < 16; ++j) {
+                float maxv = 0.f, amax = 0.f;
+                for (int t = 0; t < 16; ++t) {
+                    const float v = xs[j * 16 + t];
+                    const float a = std::fabs(v);
+                    if (a > amax) { amax = a; maxv = v; }
+                }
+                scale_f[j] = maxv / -32.0f;
+            }
+            float smax = 0.f;
+            for (int j = 0; j < 16; ++j)
+                smax = std::max(smax, std::fabs(scale_f[j]));
+            const float dv = f16_round(smax / 127.0f);
+            drr[s] = dv;
+            const float inv_d = dv != 0.f ? 1.0f / dv : 0.0f;
+            for (int j = 0; j < 16; ++j) {
+                float scq = std::min(127.f,
+                                     std::max(-127.f, rne(scale_f[j] * inv_d)));
+                scr[s * 16 + j] = (int8_t)scq;
+                const float eff = dv * scq;
+                const float inv_s = eff != 0.f ? 1.0f / eff : 0.0f;
+                for (int t = 0; t < 16; ++t) {
+                    float q = rne(xs[j * 16 + t] * inv_s);
+                    q = std::min(31.f, std::max(-32.f, q));
+                    qr[s * 256 + j * 16 + t] = (uint8_t)(q + 32.0f);
+                }
+            }
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
 // threading wrapper + exported entry points
 // ---------------------------------------------------------------------------
 
@@ -232,6 +279,29 @@ extern "C" void gct_quantize_q4_k(const float *x, uint8_t *qs, uint8_t *sc, uint
                        int nthreads) {
     run_rows(n, nthreads, [&](int64_t a, int64_t b) {
         q4_k_rows(x, qs, sc, mn, d, dmin, a, b, k);
+    });
+}
+
+extern "C" void gct_quantize_q6_k(const float *x, uint8_t *qs, int8_t *sc,
+                       float *d, int64_t n, int64_t k, int nthreads) {
+    run_rows(n, nthreads, [&](int64_t a, int64_t b) {
+        q6_k_rows(x, qs, sc, d, a, b, k);
+    });
+}
+
+extern "C" void gct_dequantize_q6_k(const uint8_t *qs, const int8_t *sc,
+                         const float *d, float *out,
+                         int64_t n, int64_t k, int nthreads) {
+    run_rows(n, nthreads, [&](int64_t r0, int64_t r1) {
+        for (int64_t r = r0; r < r1; ++r)
+            for (int64_t b = 0; b < k / 16; ++b) {
+                const float eff = d[r * (k / 256) + b / 16]
+                                  * (float)sc[r * (k / 16) + b];
+                const uint8_t *qb = qs + r * k + b * 16;
+                float *ob = out + r * k + b * 16;
+                for (int j = 0; j < 16; ++j)
+                    ob[j] = eff * (float)((int)qb[j] - 32);
+            }
     });
 }
 

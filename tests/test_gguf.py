@@ -27,15 +27,13 @@ def test_q4k_scale_pack_roundtrip(rng):
     np.testing.assert_array_equal(mn, mn2)
 
 
-@pytest.mark.parametrize("fmt", ["q8_0", "q4_0", "q4_k"])
+@pytest.mark.parametrize("fmt", ["q8_0", "q4_0", "q4_k", "q6_k"])
 def test_wire_roundtrip_bit_exact(rng, fmt, tmp_path):
     w = rng.normal(size=(8, 512)).astype(np.float32)
-    t = {"q8_0": q.quantize_q8_0, "q4_0": q.quantize_q4_0,
-         "q4_k": q.quantize_q4_k}[fmt](w)
+    t = q.FORMATS[fmt][0](w)
     raw, gt = gguf.encode_tensor(t)
     t2 = gguf.decode_tensor(raw, gt, t.shape)
-    deq = {"q8_0": q.dequantize_q8_0, "q4_0": q.dequantize_q4_0,
-           "q4_k": q.dequantize_q4_k}[fmt]
+    deq = q.FORMATS[fmt][1]
     np.testing.assert_array_equal(deq(t), deq(t2))
 
 

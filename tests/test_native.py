@@ -10,7 +10,7 @@ pytestmark = pytest.mark.skipif(not native.available(),
                                 reason="libgct_native.so not built")
 
 
-@pytest.mark.parametrize("fmt", ["q8_0", "q4_0", "q4_k"])
+@pytest.mark.parametrize("fmt", ["q8_0", "q4_0", "q4_k", "q6_k"])
 def test_quantize_bitwise_matches_oracle(rng, fmt):
     x = rng.normal(size=(32, 1024)).astype(np.float32) * 3
     # throw in exact zeros, tiny and huge values
@@ -28,7 +28,7 @@ def test_quantize_bitwise_matches_oracle(rng, fmt):
             f"{np.argwhere(np.asarray(fa) != np.asarray(fb))[:4]}")
 
 
-@pytest.mark.parametrize("fmt", ["q8_0", "q4_0", "q4_k"])
+@pytest.mark.parametrize("fmt", ["q8_0", "q4_0", "q4_k", "q6_k"])
 def test_dequantize_bitwise_matches_oracle(rng, fmt):
     x = rng.normal(size=(16, 512)).astype(np.float32)
     t = q.FORMATS[fmt][0](x)

@@ -37,7 +37,9 @@ def test_scheduler_unit_decisions():
     # its page came back and rid 2 can now admit into slot 0
     adm2 = s.admit()
     assert [(r, sl) for r, sl, _ in adm2] == [(2, 0)]
-    assert list(adm2[0][2]) == [0, 6, 6, 6]               # FIFO reuse
+    # FIFO free list: the never-used page 5 sits ahead of the released
+    # page 0 (free = [5, 0]), matching engine.py PageAllocator exactly
+    assert list(adm2[0][2]) == [5, 6, 6, 6]
 
 
 def test_eos_and_capacity():

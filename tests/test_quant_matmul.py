@@ -17,8 +17,15 @@ FMTS = ["q8_0", "q4_0", "q4_k"]
 
 def _device_dequant_ref(fmt, t):
     """The device dequant contract: GGML semantics for q8_0/q4_0; the
-    Q4_K-E encoding (bf16 effective scales, see quant_matmul docstring)
-    for q4_k."""
+    Q4_K-E / Q6_K-E encodings (bf16 effective scales, see quant_matmul
+    docstring) for q4_k / q6_k."""
+    import ml_dtypes
+    if fmt == "q6_k":
+        n, k = t.shape
+        es = (np.repeat(t.d, 16, -1) * t.sc.astype(np.float32)
+              ).astype(ml_dtypes.bfloat16).astype(np.float32)
+        q = t.qs.reshape(n, k // 16, 16).astype(np.float32) - 32.0
+        return (q * es[..., None]).reshape(n, k)
     if fmt != "q4_k":
         return quant_ref.FORMATS[fmt][1](t)
     es, em = qm.q4_k_effective(t)
@@ -233,3 +240,60 @@ def test_model_x_quant8_decode(rng):
     exact, q8 = np.asarray(exact), np.asarray(q8)
     scale = np.abs(exact).max()
     assert np.abs(q8 - exact).max() < 3e-2 * scale
+
+
+# ---------------------------------------------------------------------------
+# q6_k (16-element scale blocks; its own lane order and kernel)
+# ---------------------------------------------------------------------------
+
+def test_q6_device_dequant_matches_contract(rng):
+    w = rng.normal(size=(64, 512)).astype(np.float32)
+    t = quant_ref.quantize_q6_k(w)
+    ql = qm.from_oracle(t)
+    got = np.asarray(qm.dequantize_jnp(ql))
+    assert np.array_equal(got, _device_dequant_ref("q6_k", t))
+
+
+def test_q6_k_e_encoding_close_to_exact(rng):
+    """bf16 effective per-16 scales stay well inside the 6-bit step."""
+    w = rng.normal(size=(32, 512)).astype(np.float32)
+    t = quant_ref.quantize_q6_k(w)
+    exact = quant_ref.dequantize_q6_k(t)
+    device = _device_dequant_ref("q6_k", t)
+    denom = max(1e-6, float(np.abs(exact).max()))
+    assert float(np.abs(device - exact).max()) / denom < 0.005
+
+
+def test_q6_chunk_kernel_matvec(rng):
+    """B=1 fast path (K/16 lane-aligned): accumulation error only."""
+    n, k = 256, 2048
+    w = (rng.normal(size=(n, k)) / np.sqrt(k)).astype(np.float32)
+    t = quant_ref.quantize_q6_k(w)
+    ql = qm.from_oracle(t)
+    x = rng.normal(size=(1, k)).astype(np.float32)
+    got = np.asarray(qm.qmatmul(jnp.asarray(x), ql))
+    want = x @ _device_dequant_ref("q6_k", t).T
+    assert_close(got, want, atol=5e-4, rtol=5e-4, name="q6_k chunk matvec")
+
+
+@pytest.mark.parametrize("batch,k", [(1, 1024), (8, 2048)])
+def test_q6_fallback_paths(rng, batch, k):
+    """Unaligned-K B=1 and batched inputs route to the XLA dequant path."""
+    n = 128
+    w = (rng.normal(size=(n, k)) / np.sqrt(k)).astype(np.float32)
+    t = quant_ref.quantize_q6_k(w)
+    ql = qm.from_oracle(t)
+    x = rng.normal(size=(batch, k)).astype(np.float32)
+    got = np.asarray(qm.qmatmul(jnp.asarray(x), ql))
+    want = x @ _device_dequant_ref("q6_k", t).T
+    assert_close(got, want, atol=3e-2, rtol=3e-2, name="q6_k fallback")
+
+
+def test_q6_quantize_entry(rng):
+    """quantize(w, 'q6_k') end-to-end (native codec when built)."""
+    w = rng.normal(size=(64, 512)).astype(np.float32)
+    ql = qm.quantize(w, "q6_k")
+    assert ql.fmt == "q6_k" and ql.qh is not None
+    deq = np.asarray(qm.dequantize_jnp(ql))
+    rel = np.abs(deq - w).max() / np.abs(w).max()
+    assert rel < 0.05

@@ -7,7 +7,8 @@ from ggml_cuda_experiments_tpu.oracle import quant as q
 from ggml_cuda_experiments_tpu.utils.harness import assert_close
 
 
-@pytest.mark.parametrize("fmt,tol", [("q8_0", 0.01), ("q4_0", 0.12), ("q4_k", 0.10)])
+@pytest.mark.parametrize("fmt,tol", [("q8_0", 0.01), ("q4_0", 0.12),
+                                     ("q4_k", 0.10), ("q6_k", 0.04)])
 def test_roundtrip_error(rng, fmt, tol):
     quantize, dequantize = q.FORMATS[fmt]
     x = rng.normal(size=(8, 512)).astype(np.float32)
@@ -20,7 +21,7 @@ def test_roundtrip_error(rng, fmt, tol):
     assert float(err.max()) <= tol * scale, f"{fmt}: max err {err.max():.4f}"
 
 
-@pytest.mark.parametrize("fmt", ["q8_0", "q4_0", "q4_k"])
+@pytest.mark.parametrize("fmt", ["q8_0", "q4_0", "q4_k", "q6_k"])
 def test_requantize_fixed_point(rng, fmt):
     """Quantizing already-dequantized values must be (near) idempotent."""
     quantize, dequantize = q.FORMATS[fmt]
@@ -58,7 +59,7 @@ def test_nibble_pack_roundtrip(rng):
 def test_zero_block():
     """All-zero blocks must not produce NaN/inf (d == 0 guard)."""
     x = np.zeros((2, 256), np.float32)
-    for fmt in ("q8_0", "q4_0", "q4_k"):
+    for fmt in ("q8_0", "q4_0", "q4_k", "q6_k"):
         quantize, dequantize = q.FORMATS[fmt]
         y = dequantize(quantize(x))
         assert np.all(y == 0.0), fmt

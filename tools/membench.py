@@ -55,6 +55,8 @@ def chained(op, x0, n):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mb", type=int, default=128)
+    ap.add_argument("--strides", action="store_true",
+                    help="strided-read sweep (coalescing.cu analog)")
     args = ap.parse_args()
     spec = chip_spec()
     peak = spec.hbm_bytes_per_s / 1e9
@@ -81,6 +83,23 @@ def main():
         gbs = x.nbytes * factor / dt / 1e9
         print(f"{name:18s}: {dt*1e3:7.3f} ms/pass  {gbs:7.1f} GB/s "
               f"({100*gbs/peak:5.1f}% peak)")
+
+    if args.strides:
+        # coalescing.cu stride sweep analog (/root/reference/src/misc/
+        # coalescing.cu:64-105): read every stride-th lane column. On TPU a
+        # lane stride breaks the (8,128) vector tiling the way an
+        # uncoalesced warp breaks a DRAM burst — useful bytes drop while
+        # fetched bytes stay the same, and the effective GB/s shows it.
+        print("\nstride sweep (useful-bytes GB/s; fetch is full tiles):")
+        for stride in (1, 2, 4, 8, 16, 32):
+            def op(v, s=stride):
+                y = v[:, ::s]
+                return jnp.pad(y + 1.0, ((0, 0), (0, v.shape[1] - y.shape[1])))
+            dt = marginal(lambda n, op=op: chained(op, x, n))
+            useful = x.nbytes // stride + x.nbytes  # read subset + write full
+            gbs = useful / dt / 1e9
+            print(f"  stride {stride:2d}: {dt*1e3:7.3f} ms/pass "
+                  f"{gbs:7.1f} GB/s ({100*gbs/peak:5.1f}% peak)")
 
 
 if __name__ == "__main__":
