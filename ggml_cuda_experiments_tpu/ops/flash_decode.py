@@ -53,6 +53,14 @@ def _decode_kernel(len_ref, q_ref, k_ref, v_ref,
                    k_scale_ref=None, v_scale_ref=None):
     """Grid (B, Hkv, n_splits, n_blocks); KV streamed over the last dim.
 
+    ``len_ref`` is a scalar-prefetch ref: besides the in-kernel mask, the
+    KV BlockSpec index map clamps to the last *valid* block, so steps past
+    ``length`` revisit an already-resident tile and issue NO new DMA — the
+    cache costs ceil(length/bk) block fetches, not S/bk (a 1024-slot cache
+    at length 57 streams 1 block, not 4). This is the DMA-level version of
+    the reference's -INF block skip, which only skips compute
+    (/root/reference/src/flash-llama.h:276-278).
+
     With ``k_scale_ref``/``v_scale_ref``, K/V are int8 with a per-token
     dequant scale; the scale is applied to the *score rows* (QK^T) and the
     *probability rows* (P·V) instead of the D-wide tiles — O(bk) multiplies
@@ -69,7 +77,7 @@ def _decode_kernel(len_ref, q_ref, k_ref, v_ref,
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    length = len_ref[b, 0]
+    length = len_ref[b]
     base = (sp * n_blocks + blk) * bk
 
     @pl.when(base < length)
@@ -168,32 +176,32 @@ def flash_decode(
     n_splits = -(-total_blocks // n_blocks)
 
     qg = q.reshape(B, Hkv, G, D)
-    lengths2d = lengths.reshape(B, 1).astype(jnp.int32)
 
     grid = (B, Hkv, n_splits, n_blocks)
 
-    # The tail split may index blocks past total_blocks; the in-kernel
-    # `base < length` guard skips the compute, but the BlockSpec would still
-    # DMA an out-of-bounds tile — clamp the index map instead.
-    def kv_index(b, h, sp, blk):
-        return (b, h, jnp.minimum(sp * n_blocks + blk, total_blocks - 1), 0)
+    # Clamp the KV block index to the last block that intersects `length`
+    # (lens is the scalar-prefetch ref, trailing index-map argument): the
+    # tail of the grid revisits that resident tile instead of DMAing dead
+    # cache slots — HBM traffic scales with the *valid* context, and the
+    # out-of-bounds tail-split tiles are clamped by the same expression.
+    def kv_index(b, h, sp, blk, lens):
+        last_valid = jnp.maximum((lens[b] + bk - 1) // bk - 1, 0)
+        return (b, h,
+                jnp.minimum(jnp.minimum(sp * n_blocks + blk, last_valid),
+                            total_blocks - 1), 0)
 
     quantized = k_scale is not None
     assert (v_scale is not None) == quantized, \
         "k_scale and v_scale must be given together"
 
     in_specs = [
-        # whole [B, 1] array in SMEM (per-b (1,1) blocks trip Mosaic's
-        # block-divisibility check); the kernel indexes by program_id(0)
-        pl.BlockSpec((B, 1), lambda b, h, sp, blk: (0, 0),
-                     memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1, G, D), lambda b, h, sp, blk: (b, h, 0, 0)),
+        pl.BlockSpec((1, 1, G, D), lambda b, h, sp, blk, lens: (b, h, 0, 0)),
         pl.BlockSpec((1, 1, bk, D), kv_index),
         pl.BlockSpec((1, 1, bk, D), kv_index),
     ]
-    args = [lengths2d, qg, k, v]
+    args = [qg, k, v]
     if quantized:
-        scale_index = lambda b, h, sp, blk: kv_index(b, h, sp, blk)[:3]
+        scale_index = lambda *a: kv_index(*a)[:3]
         in_specs += [pl.BlockSpec((1, 1, bk), scale_index)] * 2
         args += [k_scale, v_scale]
 
@@ -207,24 +215,30 @@ def flash_decode(
                        scale=scale, bk=bk, n_blocks=n_blocks,
                        k_scale_ref=ks_ref, v_scale_ref=vs_ref)
 
-    o_part, m_part, s_part = pl.pallas_call(
-        kernel_entry,
+    part_index = lambda b, h, sp, blk, lens: (b, h, sp, 0, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, 1, 1, G, D), lambda b, h, sp, blk: (b, h, sp, 0, 0)),
-            pl.BlockSpec((1, 1, 1, G, 128), lambda b, h, sp, blk: (b, h, sp, 0, 0)),
-            pl.BlockSpec((1, 1, 1, G, 128), lambda b, h, sp, blk: (b, h, sp, 0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, Hkv, n_splits, G, D), jnp.float32),
-            jax.ShapeDtypeStruct((B, Hkv, n_splits, G, 128), jnp.float32),
-            jax.ShapeDtypeStruct((B, Hkv, n_splits, G, 128), jnp.float32),
+            pl.BlockSpec((1, 1, 1, G, D), part_index),
+            pl.BlockSpec((1, 1, 1, G, 128), part_index),
+            pl.BlockSpec((1, 1, 1, G, 128), part_index),
         ],
         scratch_shapes=[
             pltpu.VMEM((G, 128), jnp.float32),
             pltpu.VMEM((G, 128), jnp.float32),
             pltpu.VMEM((G, D), jnp.float32),
+        ],
+    )
+
+    o_part, m_part, s_part = pl.pallas_call(
+        kernel_entry,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Hkv, n_splits, G, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hkv, n_splits, G, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hkv, n_splits, G, 128), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
@@ -236,7 +250,7 @@ def flash_decode(
             transcendentals=B * Hq * S,
         ),
         interpret=interpret_default(interpret),
-    )(*args)
+    )(lengths.astype(jnp.int32), *args)
 
     # Phase 2 — fa_reduce analog: fold split partials with the LSE combine.
     parts = AttnPartial(o=o_part, m=m_part[..., :1], s=s_part[..., :1])
