@@ -73,10 +73,41 @@ _VPU_MAX_B = 8
 # interleaved column order
 # ---------------------------------------------------------------------------
 
+# Segment size for the segment-local interleave (K > _SEG, K % _SEG == 0).
+# Keeping the interleave *within* 4096-element segments caps the scale-block
+# lane width at 128 everywhere: the chunk8 selector dot then contracts onto
+# exactly one MXU output tile per segment, so its compute is N*K*64 MACs
+# (linear in K, ~0.47x the weight-DMA time at the int8 MXU rate) instead of
+# N*K*kb/2 (quadratic in K — 3.1x the DMA time at K=12288, which made the
+# 7B w_down matvec compute-bound). For K == _SEG the segment layout equals
+# the global interleave, so only K > _SEG tensors change encoding.
+_SEG = 4096
+
+
+def _n_segs(k: int) -> int:
+    return k // _SEG if (k % _SEG == 0 and k > _SEG) else 1
+
+
 @functools.cache
 def _perm(k: int) -> np.ndarray:
-    """perm[j] = logical element index stored at device lane j."""
+    """perm[j] = logical element index stored at device lane j.
+
+    For K % 4096 == 0 with K > 4096 the order is *byte-split
+    segment-local*: each 4096-element segment is independently interleaved
+    (as if K were 4096), and the two nibble halves of every segment are
+    separated globally — lanes [0, K/2) are the segments' low halves in
+    segment order, lanes [K/2, K) the high halves. Byte i of the packed
+    payload then still pairs lanes (i, i + K/2), and those two lanes still
+    share a scale block, so _pack_halves and every kernel's xl/xh split
+    are layout-agnostic; only block-indexed code (selector, block sums,
+    scale expansion) switches from ``lane mod (K/32)`` to
+    ``(lane segment)*128 + lane mod 128``."""
     assert k % QK == 0, f"K={k} must be a multiple of {QK}"
+    s = _n_segs(k)
+    if s > 1:
+        chunks = np.stack([_perm(_SEG) + c * _SEG for c in range(s)])
+        return (chunks.reshape(s, 2, _SEG // 2)
+                .transpose(1, 0, 2).reshape(k))   # byte-split halves
     if k % QK_K == 0:
         ks = k // QK_K
         return (np.arange(k).reshape(ks, 8, QK)   # [super, pos8, pos32]
@@ -88,7 +119,13 @@ def _perm(k: int) -> np.ndarray:
 
 @functools.cache
 def _perm32(k: int) -> np.ndarray:
-    """Per-32-block scale lane order: perm32[r] = logical block index."""
+    """Per-32-block scale lane order: perm32[r] = logical block index.
+    Segment-local layouts store the segments' 128-block groups in segment
+    order (scale column c*128 + beta holds segment c's local block beta)."""
+    s = _n_segs(k)
+    if s > 1:
+        return np.concatenate(
+            [_perm32(_SEG) + c * (_SEG // QK) for c in range(s)])
     if k % QK_K == 0:
         ks = k // QK_K
         return (np.arange(k // QK).reshape(ks, 8)  # [super, pos8]
@@ -126,9 +163,20 @@ def permute_activations_q6(x: jax.Array) -> jax.Array:
 
 
 def permute_activations(x: jax.Array) -> jax.Array:
-    """Reorder x [..., K] into the interleaved column order (one transpose)."""
+    """Reorder x [..., K] into the interleaved column order (transposes
+    only). Matches _perm, including the byte-split segment-local order for
+    K % 4096 == 0, K > 4096."""
     *lead, k = x.shape
     nl = len(lead)
+    s = _n_segs(k)
+    if s > 1:
+        # per-segment interleave (segment = 16 superblocks), then separate
+        # the halves globally: [..., S, 2, 2048] -> [..., 2, S, 2048]
+        return (x.reshape(*lead, s, 16, 8, QK)
+                .transpose(*range(nl), nl, nl + 3, nl + 2, nl + 1)
+                .reshape(*lead, s, 2, _SEG // 2)
+                .transpose(*range(nl), nl + 1, nl, nl + 2)
+                .reshape(*lead, k))
     if k % QK_K == 0:
         return (x.reshape(*lead, k // QK_K, 8, QK)
                 .transpose(*range(nl), nl + 2, nl + 1, nl)
@@ -324,10 +372,19 @@ def _vpu_e_kernel(x_ref, e_ref, qs_ref, s1_ref, s2_ref, o_ref, *,
 
 
 @functools.cache
-def _selector_np(rows: int, kb: int):
-    j = np.arange(rows)[:, None]
-    b = np.arange(kb)[None, :]
-    return ((j % kb) == b).astype(ml_dtypes.bfloat16)
+def _selector_np(rows: int, kb: int, n_segs: int = 1):
+    """One-hot block selector E[j, b] = 1 iff device lane j belongs to scale
+    block b. Global interleave: b = j mod kb. Segment-local (n_segs > 1,
+    rows = K/2 or K): b = ((j mod (n_segs*2048)) // 2048)*128 + j mod 128
+    (see _perm; the j-mod wrap covers q8_0's full-K rows, whose two nibble
+    halves repeat the same block pattern)."""
+    j = np.arange(rows)
+    if n_segs > 1:
+        half = _SEG // 2
+        blk = ((j % (n_segs * half)) // half) * 128 + (j % 128)
+    else:
+        blk = j % kb
+    return (blk[:, None] == np.arange(kb)[None, :]).astype(ml_dtypes.bfloat16)
 
 
 # ---------------------------------------------------------------------------
@@ -336,7 +393,7 @@ def _selector_np(rows: int, kb: int):
 # ---------------------------------------------------------------------------
 
 def _chunk_kernel(a_ref, b_ref, sc_ref, qs_ref, s1_ref, s2_ref, o_ref, *,
-                  fmt: str, n_chunks: int):
+                  fmt: str, n_chunks: int, n_segs: int = 1):
     """Minimal-VPU-ops dequant matvec over the signed-friendly packing.
 
     With p = int8 byte = lo + 16*hi - 128 (see _pack_halves), the true high
@@ -363,9 +420,22 @@ def _chunk_kernel(a_ref, b_ref, sc_ref, qs_ref, s1_ref, s2_ref, o_ref, *,
     hi = jnp.floor(pf * 0.0625 + 8.0)
     t = pf * a_ref[...] + hi * b_ref[...]             # [bn, K/2]
     kb = s1_ref.shape[1]
-    z = t[:, :kb]
-    for s in range(1, n_chunks):        # serial fold (tree measured slower)
-        z = z + t[:, s * kb:(s + 1) * kb]
+    if n_segs > 1:
+        # segment-local layout: byte-lane j's block is (j//2048)*128 +
+        # j mod 128, so fold each segment's 2048 lanes onto its own 128
+        # scale columns, then lay the segments side by side (stored order)
+        span = t.shape[1] // n_segs                   # 2048
+        parts = []
+        for c in range(n_segs):
+            zc = t[:, c * span:c * span + 128]
+            for s in range(1, span // 128):
+                zc = zc + t[:, c * span + s * 128:c * span + (s + 1) * 128]
+            parts.append(zc)
+        z = jnp.concatenate(parts, axis=1)            # [bn, Kb]
+    else:
+        z = t[:, :kb]
+        for s in range(1, n_chunks):    # serial fold (tree measured slower)
+            z = z + t[:, s * kb:(s + 1) * kb]
     es = s1_ref[...].astype(jnp.float32)
     em = 8.0 * es if fmt == "q4_0" else s2_ref[...].astype(jnp.float32)
     y = es * (z + sc_ref[0:1]) - em * sc_ref[1:2]     # [bn, Kb]
@@ -475,10 +545,25 @@ def _xla_rep(v, times):
     return jnp.tile(v, (1, times))
 
 
-def _dequant_halves(fmt: str, refs, rep):
+def _dequant_halves(fmt: str, refs, rep, n_segs: int = 1):
     """(w_lo, w_hi) [*, K/2] f32 dequantized halves (q4_*), or (w, None)
     for q8_0. Used by the MXU kernel (rep = pltpu.repeat) and the XLA
-    baseline (rep = jnp.tile)."""
+    baseline (rep = jnp.tile). For the segment-local layout (n_segs > 1,
+    see _perm) the scale expansion repeats each segment's 128 scale columns
+    over its 2048 half-lanes; q8_0's full-K rows duplicate that pattern for
+    the two nibble halves."""
+    if n_segs > 1:
+        base_rep = rep
+
+        def rep(v, times):                   # noqa: F811 — seg-aware shadow
+            local = (_SEG // 2) // 128       # 16 half-lanes per scale column
+            half = jnp.concatenate(
+                [base_rep(v[:, c * 128:(c + 1) * 128], local)
+                 for c in range(n_segs)], axis=1)
+            if times == QK:                  # q8_0: full-K expansion
+                return jnp.concatenate([half, half], axis=1)
+            return half
+
     if fmt == "q8_0":
         qs = refs["qs"][...]
         return qs.astype(jnp.float32) * rep(refs["d"][...], QK), None
@@ -494,7 +579,7 @@ def _dequant_halves(fmt: str, refs, rep):
     return lo * es - em, hi * es - em
 
 
-def _vpu2_kernel(*refs, fmt: str):
+def _vpu2_kernel(*refs, fmt: str, n_segs: int = 1):
     """B=1 full-width VPU matvec using the repeat-based dequant (fastest
     measured variant at repeat-aligned K: ~56% roofline for q4_k)."""
     names = _FIELDS[fmt]
@@ -502,7 +587,7 @@ def _vpu2_kernel(*refs, fmt: str):
     w_refs = dict(zip(names, refs[1:1 + len(names)]))
     o_ref = refs[1 + len(names)]
 
-    w_lo, w_hi = _dequant_halves(fmt, w_refs, _mosaic_rep)
+    w_lo, w_hi = _dequant_halves(fmt, w_refs, _mosaic_rep, n_segs)
     x = x_ref[...]                                       # [1, K] f32
     if w_hi is None:
         acc = jnp.sum(w_lo * x, axis=1)                  # [bn]
@@ -512,7 +597,7 @@ def _vpu2_kernel(*refs, fmt: str):
     o_ref[...] = acc[None, :].astype(o_ref.dtype)
 
 
-def _pipe_kernel(*refs, fmt: str, n_tiles: int):
+def _pipe_kernel(*refs, fmt: str, n_tiles: int, n_segs: int = 1):
     """Software-pipelined matvec: the VPU dequantizes tile i into a VMEM
     scratch slot while the MXU multiplies tile i-1 from the other slot —
     the two units have no data dependency inside a grid step, so Mosaic can
@@ -529,7 +614,7 @@ def _pipe_kernel(*refs, fmt: str, n_tiles: int):
 
     @pl.when(i < n_tiles)
     def _dequant():
-        w_lo, w_hi = _dequant_halves(fmt, w_refs, _mosaic_rep)
+        w_lo, w_hi = _dequant_halves(fmt, w_refs, _mosaic_rep, n_segs)
         if w_hi is None:
             wbuf[slot] = w_lo.astype(jnp.bfloat16)
         else:
@@ -546,14 +631,14 @@ def _pipe_kernel(*refs, fmt: str, n_tiles: int):
             preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
-def _mxu_kernel(*refs, fmt: str, compute_dtype):
+def _mxu_kernel(*refs, fmt: str, compute_dtype, n_segs: int = 1):
     """Grid (n,): out = x_perm @ dequant(W_tile)^T — 1-2 MXU dots."""
     names = _FIELDS[fmt]
     x_ref = refs[0]
     w_refs = dict(zip(names, refs[1:1 + len(names)]))
     o_ref = refs[1 + len(names)]
 
-    w_lo, w_hi = _dequant_halves(fmt, w_refs, _mosaic_rep)
+    w_lo, w_hi = _dequant_halves(fmt, w_refs, _mosaic_rep, n_segs)
     x = x_ref[...].astype(compute_dtype)                     # [B, K]
     dims = (((1,), (1,)), ((), ()))
     # full f32 MXU passes when compute is f32 (default would silently round
@@ -678,7 +763,8 @@ def qmatmul(
         if B == 1 and _rep_aligned(kb):
             # fast full-width variant (repeat-based scale expansion)
             out = pl.pallas_call(
-                functools.partial(_vpu2_kernel, fmt=ql.fmt),
+                functools.partial(_vpu2_kernel, fmt=ql.fmt,
+                                  n_segs=_n_segs(K)),
                 out_shape=jax.ShapeDtypeStruct((1, Np), out_dtype),
                 grid=(Np // bn,),
                 in_specs=[pl.BlockSpec((1, K), lambda n: (0, 0))]
@@ -693,7 +779,7 @@ def qmatmul(
             return out[:, :N]
         # any-K path: segment fold via the constant selector matmul
         rows = K if ql.fmt == "q8_0" else K // 2
-        e = jnp.asarray(_selector_np(rows, kb))
+        e = jnp.asarray(_selector_np(rows, kb, _n_segs(K)))
         s1 = arrays[1]
         s2 = arrays[2] if len(arrays) > 2 else s1   # dummy for q4_0/q8_0
         qs_div = 1 if ql.fmt == "q8_0" else 2
@@ -726,7 +812,7 @@ def qmatmul(
 
     out = pl.pallas_call(
         functools.partial(_mxu_kernel, fmt=ql.fmt,
-                          compute_dtype=compute_dtype),
+                          compute_dtype=compute_dtype, n_segs=_n_segs(K)),
         out_shape=jax.ShapeDtypeStruct((Bp, Np), out_dtype),
         grid=(Np // bn,),
         in_specs=in_specs,
@@ -744,7 +830,7 @@ def qmatmul(
 
 
 def _chunk8_kernel(ea_ref, eb_ref, sc_ref, qs_ref, s1_ref, s2_ref, o_ref, *,
-                   fmt: str):
+                   fmt: str, n_segs: int = 1):
     """Integer-dot B=1 q4 matvec (llama.cpp Q4_K x Q8 analog,
     ggml vec_dot_q4_K_q8_K re-asked for the MXU).
 
@@ -759,15 +845,34 @@ def _chunk8_kernel(ea_ref, eb_ref, sc_ref, qs_ref, s1_ref, s2_ref, o_ref, *,
     Z_p = p @ E_b needs no unpacking at all, Z_lo = (p & 15) @ E_a needs a
     single int8 AND per byte — the entire per-element dequant runs on the
     MXU at its 2x int8 rate, and the VPU touches only [bn, Kb]-scale data.
-    The selector's 128x FLOP redundancy is affordable precisely because
-    int8 decode matvecs are ~30x under the MXU roofline."""
+
+    With the segment-local layout (n_segs > 1, see _perm) the selector is
+    [KH, 128] and each 2048-byte segment contracts against its own slice —
+    selector compute stays linear in K (N*K*64 MACs, ~0.47x the weight-DMA
+    time on the MXU) instead of the global layout's N*K*Kb/2. The dot must
+    still hide under the DMA: keep tiles small enough for Mosaic to
+    double-buffer (see _qmatmul_chunk8's bn choice)."""
     p = qs_ref[...]                                   # [bn, K/2] int8
     lo = p & 0x0F
     dims = (((1,), (0,)), ((), ()))
-    zl = jax.lax.dot_general(lo, ea_ref[...], dims,
-                             preferred_element_type=jnp.int32)
-    zp = jax.lax.dot_general(p, eb_ref[...], dims,
-                             preferred_element_type=jnp.int32)
+    if n_segs > 1:
+        csz = p.shape[1] // n_segs                    # bytes per segment
+        zl_parts, zp_parts = [], []
+        for s in range(n_segs):
+            sl = slice(s * csz, (s + 1) * csz)
+            zl_parts.append(jax.lax.dot_general(
+                lo[:, sl], ea_ref[sl, :], dims,
+                preferred_element_type=jnp.int32))
+            zp_parts.append(jax.lax.dot_general(
+                p[:, sl], eb_ref[sl, :], dims,
+                preferred_element_type=jnp.int32))
+        zl = jnp.concatenate(zl_parts, axis=1)        # [bn, S*128 = Kb]
+        zp = jnp.concatenate(zp_parts, axis=1)
+    else:
+        zl = jax.lax.dot_general(lo, ea_ref[...], dims,
+                                 preferred_element_type=jnp.int32)
+        zp = jax.lax.dot_general(p, eb_ref[...], dims,
+                                 preferred_element_type=jnp.int32)
     sa, sb = sc_ref[2:3], sc_ref[3:4]                 # [1, Kb] f32
     z = (sa * zl.astype(jnp.float32) + sb * zp.astype(jnp.float32)
          + sc_ref[0:1])
@@ -777,9 +882,25 @@ def _chunk8_kernel(ea_ref, eb_ref, sc_ref, qs_ref, s1_ref, s2_ref, o_ref, *,
     o_ref[...] = jnp.sum(y, axis=1)[None, :]
 
 
-def _quant_rows_blockwise(v, kb):
-    """Per-block int8 quantization of a [KH] vector whose lane j belongs to
-    block j mod kb; returns (q int8 [KH], scale f32 [kb])."""
+def _block_sums(v, kb, n_segs):
+    """Per-scale-block sums of a byte-lane [KH] vector: block of byte-lane
+    j is ``j mod kb`` (global interleave) or ``(j // 2048)*128 + j mod 128``
+    (segment-local). Returns [kb]."""
+    if n_segs > 1:
+        return v.reshape(n_segs, -1, 128).sum(1).reshape(-1)
+    return v.reshape(-1, kb).sum(0)
+
+
+def _quant_rows_blockwise(v, kb, n_segs=1):
+    """Per-block int8 quantization of a byte-lane [KH] vector (block
+    indexing as in _block_sums); returns (q int8 [KH], scale f32 [kb])."""
+    if n_segs > 1:
+        s = v.reshape(n_segs, -1, 128)
+        amax = jnp.max(jnp.abs(s), axis=1)                 # [S, 128]
+        scale = jnp.where(amax == 0.0, 1.0, amax / 127.0)
+        q = jnp.clip(jnp.round(s / scale[:, None, :]), -127, 127
+                     ).astype(jnp.int8)
+        return q.reshape(-1), scale.reshape(-1)
     s = v.reshape(-1, kb)
     amax = jnp.max(jnp.abs(s), axis=0)
     scale = jnp.where(amax == 0.0, 1.0, amax / 127.0)
@@ -791,9 +912,16 @@ def _qmatmul_chunk8(xp, ql, N, K, kb, block_n, out_dtype, interpret):
     """Dispatch for the integer-dot B=1 q4 matvec (see _chunk8_kernel)."""
     fields = _FIELDS[ql.fmt]
     kh = K // 2
-    # 4 MB qs tiles measured fastest (DMA-efficiency, not VPU, is the
-    # binding constraint at this op intensity): bn*K/2 bytes ~ 4MB
-    bn = block_n or max(128, (8_388_608 // K) // 128 * 128)
+    # SMALL tiles: the selector dot costs ~N*K*kb int8 MXU ops — at
+    # K=4096 that's the same order as the DMA time, so the kernel only
+    # reaches roofline if Mosaic can double-buffer the weight stream and
+    # hide the dot under the next tile's DMA. Big (4 MB) tiles push the
+    # working set (tile + int8 temporaries + f32 partials, x2 slots) past
+    # VMEM and serialize DMA with compute: measured honest (cycled-weight)
+    # rates for 12288x4096 were 235 us at bn=2048 vs 44 us at bn=256
+    # (87% of the HBM roofline; the old 4 MB tuning was contaminated by
+    # XLA hoisting loop-invariant weights into VMEM).
+    bn = block_n or 256
     bn = min(bn, N)
     Np = -(-N // bn) * bn
 
@@ -802,26 +930,31 @@ def _qmatmul_chunk8(xp, ql, N, K, kb, block_n, out_dtype, interpret):
                 if a.shape[0] != Np else a)
 
     arrays = [pad_rows(getattr(ql, f)) for f in fields]
+    segs = _n_segs(K)
+    kb_sel = 128 if segs > 1 else kb      # selector column count
     xl, xh = xp[0, :kh], xp[0, kh:]
     a = xl - xh / 16.0
     bvec = xh / 16.0
-    aq, sa = _quant_rows_blockwise(a, kb)
-    bq, sb = _quant_rows_blockwise(bvec, kb)
-    sel = jnp.asarray(_selector_np(kh, kb).astype(np.int8))   # [KH, Kb]
+    aq, sa = _quant_rows_blockwise(a, kb, segs)
+    bq, sb = _quant_rows_blockwise(bvec, kb, segs)
+    sel = _selector_np(kh if segs == 1 else kh // segs, kb_sel).astype(np.int8)
+    if segs > 1:
+        sel = np.tile(sel, (segs, 1))                 # [KH, 128]
+    sel = jnp.asarray(sel)
     ea = aq[:, None] * sel
     eb = bq[:, None] * sel
-    c = 8.0 * xh.reshape(-1, kb).sum(0)
-    xs = (xl + xh).reshape(-1, kb).sum(0)
+    c = 8.0 * _block_sums(xh, kb, segs)
+    xs = _block_sums(xl + xh, kb, segs)
     sc = jnp.stack([c, xs, sa, sb])                   # [4, Kb] f32
     s1 = arrays[1]
     s2 = arrays[2] if len(arrays) > 2 else arrays[1]
     out = pl.pallas_call(
-        functools.partial(_chunk8_kernel, fmt=ql.fmt),
+        functools.partial(_chunk8_kernel, fmt=ql.fmt, n_segs=segs),
         out_shape=jax.ShapeDtypeStruct((1, Np), jnp.float32),
         grid=(Np // bn,),
         in_specs=[
-            pl.BlockSpec((kh, kb), lambda n: (0, 0)),
-            pl.BlockSpec((kh, kb), lambda n: (0, 0)),
+            pl.BlockSpec((kh, kb_sel), lambda n: (0, 0)),
+            pl.BlockSpec((kh, kb_sel), lambda n: (0, 0)),
             pl.BlockSpec((4, kb), lambda n: (0, 0)),
             pl.BlockSpec((bn, kh), lambda n: (n, 0)),
             pl.BlockSpec((bn, kb), lambda n: (n, 0)),
@@ -853,16 +986,18 @@ def _qmatmul_chunk(xp, ql, N, K, kb, block_n, out_dtype, interpret):
                 if a.shape[0] != Np else a)
 
     arrays = [pad_rows(getattr(ql, f)) for f in fields]
+    segs = _n_segs(K)
     xl, xh = xp[0, :kh], xp[0, kh:]
     a = xl[None, :]
     bvec = (xh - 16.0 * xl)[None, :]
-    c = 128.0 * xl.reshape(-1, kb).sum(0)
-    xs = (xl + xh).reshape(-1, kb).sum(0)
+    c = 128.0 * _block_sums(xl, kb, segs)
+    xs = _block_sums(xl + xh, kb, segs)
     sc = jnp.stack([c, xs])                            # [2, Kb]
     s1 = arrays[1]
     s2 = arrays[2] if len(arrays) > 2 else arrays[1]
     out = pl.pallas_call(
-        functools.partial(_chunk_kernel, fmt=ql.fmt, n_chunks=kh // kb),
+        functools.partial(_chunk_kernel, fmt=ql.fmt, n_chunks=kh // kb,
+                          n_segs=segs),
         out_shape=jax.ShapeDtypeStruct((1, Np), jnp.float32),
         grid=(Np // bn,),
         in_specs=[
@@ -917,7 +1052,8 @@ def _qmatmul_pipelined(xp, ql, B, N, K, kb, block_n, out_dtype, interpret):
         in_specs.append(pl.BlockSpec((bn, K // div), wmap))
 
     out = pl.pallas_call(
-        functools.partial(_pipe_kernel, fmt=ql.fmt, n_tiles=n_tiles),
+        functools.partial(_pipe_kernel, fmt=ql.fmt, n_tiles=n_tiles,
+                          n_segs=_n_segs(K)),
         out_shape=jax.ShapeDtypeStruct((Bp, Np), out_dtype),
         grid=(n_tiles + 1,),
         in_specs=in_specs,
@@ -957,7 +1093,7 @@ def dequantize_jnp(ql: QuantLinear, dtype=jnp.float32) -> jax.Array:
         def __getitem__(self, idx): return self.a
 
     w_lo, w_hi = _dequant_halves(ql.fmt, {k: _A(v) for k, v in refs.items()},
-                                 _xla_rep)
+                                 _xla_rep, _n_segs(ql.array_shape[1]))
     wp = w_lo if w_hi is None else jnp.concatenate([w_lo, w_hi], axis=1)
     inv = jnp.asarray(_inv_perm(ql.array_shape[1]))
     return wp[:, inv].astype(dtype)

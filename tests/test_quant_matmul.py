@@ -297,3 +297,85 @@ def test_q6_quantize_entry(rng):
     deq = np.asarray(qm.dequantize_jnp(ql))
     rel = np.abs(deq - w).max() / np.abs(w).max()
     assert rel < 0.05
+
+
+# ---------------------------------------------------------------------------
+# segment-local interleave (K % 4096 == 0, K > 4096 — e.g. the padded 7B
+# w_down K=12288): every kernel path must agree with the stored layout
+# ---------------------------------------------------------------------------
+
+def test_segment_layout_invariants():
+    """The segment-local perm keeps the two nibble-half lanes of byte i at
+    (i, i+K/2), keeps both lanes of a byte in one scale block, and maps
+    lane j to stored scale column ((j % (K/2)) // 2048)*128 + j % 128."""
+    k = 12288
+    p, p32 = qm._perm(k), qm._perm32(k)
+    assert np.array_equal(np.sort(p), np.arange(k))
+    assert np.array_equal(np.sort(p32), np.arange(k // 32))
+    j = np.arange(k)
+    col = ((j % (k // 2)) // 2048) * 128 + (j % 128)   # stored scale column
+    lo_blk = p[: k // 2] // 32                         # logical block of lane
+    hi_blk = p[k // 2:] // 32
+    # byte i pairs lanes (i, i+K/2): both nibbles share a scale block
+    assert np.array_equal(lo_blk, hi_blk)
+    # the stored scale column of lane j holds lane j's logical block
+    assert np.array_equal(p32[col], p // 32)
+
+
+def test_segment_layout_permute_activations(rng):
+    """permute_activations must equal gathering by _perm for seg layouts."""
+    for k in (8192, 12288):
+        x = rng.normal(size=(2, k)).astype(np.float32)
+        got = np.asarray(qm.permute_activations(jnp.asarray(x)))
+        assert np.array_equal(got, x[:, qm._perm(k)]), f"K={k}"
+
+
+@pytest.mark.parametrize("fmt", FMTS)
+def test_segment_dequant_contract(rng, fmt):
+    """dequantize_jnp round-trips the segment-local encoding bit-for-bit."""
+    n, k = 16, 8192
+    w = rng.normal(size=(n, k)).astype(np.float32)
+    t = quant_ref.FORMATS[fmt][0](w)
+    got = np.asarray(qm.dequantize_jnp(qm.from_oracle(t)))
+    assert np.array_equal(got, _device_dequant_ref(fmt, t)), fmt
+
+
+@pytest.mark.parametrize("k", [8192, 12288])
+@pytest.mark.parametrize("path", ["chunk", "chunk8", "mxu_b8", "vpu_e_b2",
+                                  "pipelined", "q8_mxu_b1", "xla"])
+def test_segment_layout_all_paths(rng, k, path):
+    """Every dispatch path agrees with the oracle under the segment-local
+    layout (q4_k except the q8_0 MXU case)."""
+    n = 256
+    fmt = "q8_0" if path == "q8_mxu_b1" else "q4_k"
+    w = (rng.normal(size=(n, k)) / np.sqrt(k)).astype(np.float32)
+    t = quant_ref.FORMATS[fmt][0](w)
+    ql = qm.from_oracle(t)
+    b = {"mxu_b8": 8, "vpu_e_b2": 2, "xla": 4}.get(path, 1)
+    x = rng.normal(size=(b, k)).astype(np.float32)
+    want = x @ _device_dequant_ref(fmt, t).T
+    xj = jnp.asarray(x)
+    if path == "chunk":
+        got = qm.qmatmul(xj, ql, use_vpu=True)
+        tol = 1e-4                       # f32 fold: summation order only
+    elif path == "chunk8":
+        got = qm.qmatmul(xj, ql, use_vpu=True, x_quant8=True)
+        tol = 2e-2                       # int8 activation quantization
+    elif path == "mxu_b8":
+        got = qm.qmatmul(xj, ql, block_n=128)
+        tol = 2e-2                       # bf16 MXU compute
+    elif path == "vpu_e_b2":
+        got = qm.qmatmul(xj, ql, block_n=128, use_vpu=True)
+        tol = 2e-2                       # bf16 selector fold
+    elif path == "pipelined":
+        got = qm.qmatmul(xj, ql, block_n=128, pipelined=True)
+        tol = 2e-2
+    elif path == "q8_mxu_b1":
+        got = qm.qmatmul(xj, ql, block_n=128, compute_dtype=jnp.float32)
+        tol = 1e-4
+    else:
+        got = qm.qmatmul_xla(xj, ql, compute_dtype=jnp.float32)
+        tol = 1e-4
+    scale = np.abs(want).max()
+    err = np.abs(np.asarray(got) - want).max()
+    assert err < tol * scale, f"{path} K={k}: err {err} vs scale {scale}"
