@@ -230,20 +230,29 @@ def _attention_block(layer: Params, cfg: ModelConfig, h: jax.Array,
         )
 
     if decode:
-        def layer_rows(arr):
-            """This layer's cache rows [B, Hkv, S, ...] for batch b0:b0+B."""
-            if isinstance(li, int) and not micro:
-                return arr[li]
-            sizes = (1, B) + arr.shape[2:]
-            idx = (li, b0) + (0,) * (arr.ndim - 2)
-            return jax.lax.dynamic_slice(arr, idx, sizes)[0]
+        if not micro:
+            # full stacked cache into the kernel; the layer is picked in
+            # the BlockSpec index map (scalar prefetch). An XLA slice
+            # (cache.k[li]) feeding the custom call materializes the whole
+            # layer — ~16 MB of dead HBM traffic per layer at 7B shapes.
+            o = flash_decode(
+                q[:, 0],                   # [B, Hq, D]
+                cache.k, cache.v, lengths + 1, layer=li,
+                k_scale=cache.k_scale, v_scale=cache.v_scale,
+            )[:, None]                     # [B, 1, Hq, D]
+        else:
+            def layer_rows(arr):
+                """This layer's rows [B, Hkv, S, ...] for batch b0:b0+B."""
+                sizes = (1, B) + arr.shape[2:]
+                idx = (li, b0) + (0,) * (arr.ndim - 2)
+                return jax.lax.dynamic_slice(arr, idx, sizes)[0]
 
-        o = flash_decode(
-            q[:, 0],                       # [B, Hq, D]
-            layer_rows(cache.k), layer_rows(cache.v), lengths + 1,
-            k_scale=None if not quantized else layer_rows(cache.k_scale),
-            v_scale=None if not quantized else layer_rows(cache.v_scale),
-        )[:, None]                         # [B, 1, Hq, D]
+            o = flash_decode(
+                q[:, 0],                   # [B, Hq, D]
+                layer_rows(cache.k), layer_rows(cache.v), lengths + 1,
+                k_scale=None if not quantized else layer_rows(cache.k_scale),
+                v_scale=None if not quantized else layer_rows(cache.v_scale),
+            )[:, None]                     # [B, 1, Hq, D]
     else:
         # prefill attends over the fresh bf16 K/V (the cache, possibly
         # int8, starts empty for prefill — chunked prefill over an existing

@@ -68,7 +68,7 @@ def _decode_kernel(len_ref, q_ref, k_ref, v_ref,
     attention design (boom guide §13) on the contiguous cache.
     """
     b, sp, blk = pl.program_id(0), pl.program_id(2), pl.program_id(3)
-    g, d = q_ref.shape[2], q_ref.shape[3]
+    g, d = q_ref.shape[-2], q_ref.shape[-1]
     quantized = k_scale_ref is not None
 
     @pl.when(blk == 0)
@@ -82,8 +82,8 @@ def _decode_kernel(len_ref, q_ref, k_ref, v_ref,
 
     @pl.when(base < length)
     def _compute():
-        q = q_ref[0, 0]                                   # [G, D]
-        k = k_ref[0, 0]                                   # [bk, D]
+        q = q_ref[...].reshape(g, d)                      # [G, D]
+        k = k_ref[...].reshape(-1, d)                     # [bk, D]
         prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
                 else jax.lax.Precision.DEFAULT)
         if quantized:
@@ -94,7 +94,7 @@ def _decode_kernel(len_ref, q_ref, k_ref, v_ref,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            s = s * (k_scale_ref[0] * scale)             # [1, bk] broadcast
+            s = s * (k_scale_ref[...].reshape(1, -1) * scale)  # [1, bk]
         else:
             s = jax.lax.dot_general(
                 q, k, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -112,9 +112,9 @@ def _decode_kernel(len_ref, q_ref, k_ref, v_ref,
         m_scr[...] = m_next
         l_scr[...] = l_next
         acc_scr[...] *= alpha[:, :1]
-        v = v_ref[0, 0]                                    # [bk, D]
+        v = v_ref[...].reshape(-1, d)                      # [bk, D]
         if quantized:
-            pv = (p * v_scale_ref[0]).astype(jnp.bfloat16)
+            pv = (p * v_scale_ref[...].reshape(1, -1)).astype(jnp.bfloat16)
             acc_scr[...] += jax.lax.dot(
                 pv, v.astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
@@ -149,17 +149,28 @@ def flash_decode(
     kv_splits: int = 1,
     block_k: int = 256,
     return_partial: bool = False,
+    layer: jax.Array | int | None = None,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Single-token attention against a KV cache, split-KV parallel.
 
     q: [B, Hq, D] (the current token's query per sequence)
-    k, v: [B, Hkv, S, D] KV cache (S = allocated cache length)
+    k, v: [B, Hkv, S, D] KV cache (S = allocated cache length), OR the FULL
+        stacked cache [L, B, Hkv, S, D] together with ``layer`` — the layer
+        is then selected inside the kernel's BlockSpec index map (scalar
+        prefetch), so no per-layer slice of the cache is ever materialized
+        (an XLA slice feeding a custom call copies the whole layer: ~16 MB
+        of dead HBM traffic per decode layer at 7B shapes).
     lengths: [B] int32 valid prefix per sequence (defaults to S)
+    layer: scalar int (static or traced) selecting the cache layer when
+        k/v are 5-D.
     Returns O [B, Hq, D] in q's dtype.
     """
     B, Hq, D = q.shape
-    _, Hkv, S, _ = k.shape
+    layered = k.ndim == 5
+    assert layered == (layer is not None), \
+        "pass `layer` iff k/v carry a leading layer dimension"
+    _, Hkv, S, _ = k.shape[1:] if layered else k.shape
     assert Hq % Hkv == 0
     G = Hq // Hkv
     if scale is None:
@@ -184,28 +195,42 @@ def flash_decode(
     # tail of the grid revisits that resident tile instead of DMAing dead
     # cache slots — HBM traffic scales with the *valid* context, and the
     # out-of-bounds tail-split tiles are clamped by the same expression.
-    def kv_index(b, h, sp, blk, lens):
+    # When ``layered``, a second prefetch scalar carries the layer index
+    # and the KV maps lead with it — the full stacked cache is the operand
+    # and only the selected layer's tiles are ever DMA'd.
+    def kv_index(b, h, sp, blk, lens, *lyr):
         last_valid = jnp.maximum((lens[b] + bk - 1) // bk - 1, 0)
-        return (b, h,
-                jnp.minimum(jnp.minimum(sp * n_blocks + blk, last_valid),
-                            total_blocks - 1), 0)
+        blk_c = jnp.minimum(jnp.minimum(sp * n_blocks + blk, last_valid),
+                            total_blocks - 1)
+        if layered:
+            return (lyr[0][0], b, h, blk_c, 0)
+        return (b, h, blk_c, 0)
 
     quantized = k_scale is not None
     assert (v_scale is not None) == quantized, \
         "k_scale and v_scale must be given together"
 
+    kv_block = (1, 1, 1, bk, D) if layered else (1, 1, bk, D)
     in_specs = [
-        pl.BlockSpec((1, 1, G, D), lambda b, h, sp, blk, lens: (b, h, 0, 0)),
-        pl.BlockSpec((1, 1, bk, D), kv_index),
-        pl.BlockSpec((1, 1, bk, D), kv_index),
+        pl.BlockSpec((1, 1, G, D), lambda b, h, sp, blk, *refs: (b, h, 0, 0)),
+        pl.BlockSpec(kv_block, kv_index),
+        pl.BlockSpec(kv_block, kv_index),
     ]
     args = [qg, k, v]
     if quantized:
-        scale_index = lambda *a: kv_index(*a)[:3]
-        in_specs += [pl.BlockSpec((1, 1, bk), scale_index)] * 2
+        scale_index = lambda *a: kv_index(*a)[:-1]
+        sc_block = (1, 1, 1, bk) if layered else (1, 1, bk)
+        in_specs += [pl.BlockSpec(sc_block, scale_index)] * 2
         args += [k_scale, v_scale]
 
-    def kernel_entry(len_ref, q_ref, k_ref, v_ref, *rest):
+    prefetch = [lengths.astype(jnp.int32)]
+    if layered:
+        prefetch.append(jnp.atleast_1d(jnp.asarray(layer, jnp.int32)))
+
+    def kernel_entry(len_ref, *rest):
+        if layered:
+            rest = rest[1:]                  # drop the layer prefetch ref
+        q_ref, k_ref, v_ref, rest = rest[0], rest[1], rest[2], rest[3:]
         if quantized:
             ks_ref, vs_ref = rest[0], rest[1]
             rest = rest[2:]
@@ -215,9 +240,9 @@ def flash_decode(
                        scale=scale, bk=bk, n_blocks=n_blocks,
                        k_scale_ref=ks_ref, v_scale_ref=vs_ref)
 
-    part_index = lambda b, h, sp, blk, lens: (b, h, sp, 0, 0)
+    part_index = lambda b, h, sp, blk, *refs: (b, h, sp, 0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=1 + layered,
         grid=grid,
         in_specs=in_specs,
         out_specs=[
@@ -246,11 +271,11 @@ def flash_decode(
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * Hq * S * D,
-            bytes_accessed=(k.size + v.size) * k.dtype.itemsize,
+            bytes_accessed=2 * B * Hkv * S * D * k.dtype.itemsize,
             transcendentals=B * Hq * S,
         ),
         interpret=interpret_default(interpret),
-    )(lengths.astype(jnp.int32), *args)
+    )(*prefetch, *args)
 
     # Phase 2 — fa_reduce analog: fold split partials with the LSE combine.
     parts = AttnPartial(o=o_part, m=m_part[..., :1], s=s_part[..., :1])

@@ -90,6 +90,48 @@ def test_matches_flash_attention_kernel(rng):
                  name="decode vs flash")
 
 
+def test_layered_cache_matches_sliced(rng):
+    """Full stacked cache [L, B, Hkv, S, D] + layer index must bit-match the
+    per-layer-slice call (the layer is picked inside the BlockSpec index map
+    so the model never materializes a cache-layer slice)."""
+    import jax
+    L = 3
+    q, _, _ = _rand(rng, 2, 8, 4, 512, 64)
+    k = rng.normal(size=(L, 2, 4, 512, 64)).astype(np.float32)
+    v = rng.normal(size=(L, 2, 4, 512, 64)).astype(np.float32)
+    lengths = np.array([57, 300], np.int32)
+    qj, kj, vj = map(jnp.asarray, (q, k, v))
+    lj = jnp.asarray(lengths)
+    for li in (0, 2):
+        want = flash_decode(qj, kj[li], vj[li], lj, kv_splits=2)
+        got = flash_decode(qj, kj, vj, lj, layer=li, kv_splits=2)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # traced layer index (decode loop / scan body)
+    f = jax.jit(lambda i: flash_decode(qj, kj, vj, lj, layer=i))
+    np.testing.assert_array_equal(
+        np.asarray(f(jnp.int32(1))),
+        np.asarray(flash_decode(qj, kj[1], vj[1], lj)))
+
+
+def test_layered_cache_int8(rng):
+    from ggml_cuda_experiments_tpu.oracle.quant import quantize_int8_rowwise
+    L = 2
+    q, _, _ = _rand(rng, 1, 8, 4, 256, 64)
+    k = rng.normal(size=(L, 1, 4, 256, 64)).astype(np.float32)
+    v = rng.normal(size=(L, 1, 4, 256, 64)).astype(np.float32)
+    kq, ks = quantize_int8_rowwise(k)
+    vq, vs = quantize_int8_rowwise(v)
+    lengths = jnp.asarray([200], jnp.int32)
+    args = map(jnp.asarray, (q, kq, vq, ks[..., 0], vs[..., 0]))
+    qj, kj, vj, ksj, vsj = args
+    for li in range(L):
+        want = flash_decode(qj, kj[li], vj[li], lengths,
+                            k_scale=ksj[li], v_scale=vsj[li])
+        got = flash_decode(qj, kj, vj, lengths,
+                           k_scale=ksj, v_scale=vsj, layer=li)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_int8_quantized_kv(rng):
     """INT8 KV cache with per-token scales: kernel must match the oracle run
     on the dequantized cache (scale applied to score/prob rows is

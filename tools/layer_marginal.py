@@ -58,13 +58,18 @@ def main():
     from ggml_cuda_experiments_tpu.utils import loader
 
     cfg = dataclasses.replace(PRESETS[args.model], x_quant8=True)
-    ckpt = f"/tmp/bench_ckpt_{args.model}_{args.fmt}_v2.gctc"
+    # share bench.py's checkpoint cache (same v3 segment-local layout)
+    ckpt = f"/tmp/bench_ckpt_{args.model}_{args.fmt}_v3.gctc"
     if os.path.exists(ckpt):
         print(f"loading {ckpt}", flush=True)
         params = loader.load_params(ckpt)
     else:
         params = llama.quantize_params(
             llama.init_weights(cfg, seed=0, as_numpy=True), args.fmt)
+        try:
+            loader.save_params(ckpt, params)
+        except Exception as e:
+            print(f"checkpoint cache failed: {e}", flush=True)
     params = jax.device_put(params)
     jax.block_until_ready(jax.tree.leaves(params))
 
