@@ -186,12 +186,15 @@ def main() -> None:
         return
 
     q8 = roofline_pct("q8_0", block_n=512)
-    # the tunneled chip's sustained rate wanders by ~10% between trials
-    # (tenancy/clock noise); report the best sustained rate over 5 trials
-    pcts = [roofline_pct("q4_k", use_vpu=True, x_quant8=True)
-            for _ in range(5)]
-    pct = max(pcts)
-    log(f"q4_k best: {pct:.1f}%  (q8_0: {q8:.1f}%)")
+    # the tunneled chip's sustained rate wanders between trials (tenancy /
+    # clock noise, some days >±20%); report the MEDIAN of 5 trials — the
+    # max can exceed 100% of roofline on a noisy day, which is not a
+    # credible sustained rate
+    pcts = sorted(roofline_pct("q4_k", use_vpu=True, x_quant8=True)
+                  for _ in range(5))
+    pct = pcts[len(pcts) // 2]
+    log(f"q4_k median: {pct:.1f}% of 5 trials {[round(p,1) for p in pcts]} "
+        f"(q8_0: {q8:.1f}%)")
 
     spec = chip_spec()
     print(json.dumps({

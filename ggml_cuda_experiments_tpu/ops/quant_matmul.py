@@ -913,15 +913,16 @@ def _qmatmul_chunk8(xp, ql, N, K, kb, block_n, out_dtype, interpret):
     fields = _FIELDS[ql.fmt]
     kh = K // 2
     # SMALL tiles: the selector dot costs ~N*K*kb int8 MXU ops — at
-    # K=4096 that's the same order as the DMA time, so the kernel only
-    # reaches roofline if Mosaic can double-buffer the weight stream and
-    # hide the dot under the next tile's DMA. Big (4 MB) tiles push the
-    # working set (tile + int8 temporaries + f32 partials, x2 slots) past
-    # VMEM and serialize DMA with compute: measured honest (cycled-weight)
-    # rates for 12288x4096 were 235 us at bn=2048 vs 44 us at bn=256
-    # (87% of the HBM roofline; the old 4 MB tuning was contaminated by
-    # XLA hoisting loop-invariant weights into VMEM).
-    bn = block_n or 256
+    # Tile sizing: per-grid-step fixed cost (~0.5-0.8 us: semaphores, index
+    # maps, epilogue) dominates when the per-step DMA is small — in-model
+    # layer-marginal timing on 7B q4_k showed 256-row tiles cost the MLP
+    # ~80 us/layer of pure step overhead (attention 127.9 -> 112.3 us/layer
+    # just from bn 256 -> 512). But the working set (2 payload slots + int8
+    # temporaries + scales) must stay under Mosaic's ~16 MB scoped-VMEM
+    # limit, which a 1024-row tile at K=12288 exceeds (measured 17.02M).
+    # bn*K <= 6.3M keeps both measured-good points (1024@4096, 512@12288)
+    # and scales between them.
+    bn = block_n or max(256, min(1024, int(6.3e6 / K) // 128 * 128))
     bn = min(bn, N)
     Np = -(-N // bn) * bn
 

@@ -51,6 +51,8 @@ def main():
     ap.add_argument("--model", default="llama2-7b")
     ap.add_argument("--fmt", default="q4_k")
     ap.add_argument("--cache", type=int, default=1024)
+    ap.add_argument("--ablate", action="store_true",
+                    help="also run the glue-isolation ablation modes")
     args = ap.parse_args()
 
     from ggml_cuda_experiments_tpu.models.config import PRESETS
@@ -76,11 +78,47 @@ def main():
     L = cfg.n_layers
 
     def make_stepper(mode):
-        """mode: 'full' | 'attn' | 'mlp'."""
+        """mode: 'full' | 'attn' | 'mlp' | ablations.
+
+        Ablation modes keep the layer's weight-stream traffic identical and
+        drop glue stages, so mode differences isolate the glue:
+          attn_mat   qkv+wo matvecs only (no rope/cache-write/flash_decode)
+          attn_nofd  + rope + cache write, no flash_decode kernel
+          mlp_mat    gate_up+down matvecs, silu(gate)*up replaced by `up`
+        """
         @functools.partial(jax.jit, static_argnames=("steps", "n_layers"),
                            donate_argnums=(2,))
         def gen(params, tok, cache, steps, n_layers):
             lcfg = dataclasses.replace(cfg, n_layers=n_layers)
+
+            def attn_ablate(layer, h, cache, li, positions, with_rope):
+                import jax.numpy as jnp
+                B, T, _ = h.shape
+                Hq, Hkv, D = lcfg.n_heads, lcfg.n_kv_heads, lcfg.head_dim
+                x = llama.rms_norm(h, layer["attn_norm"], lcfg.rms_eps)
+                q, k, v = llama.qkv_proj(layer, x, lcfg)
+                q = q.reshape(B, T, Hq, D)
+                if with_rope:
+                    k = k.reshape(B, T, Hkv, D)
+                    q = llama.rope(q, positions, lcfg.rope_theta)
+                    k = llama.rope(k, positions, lcfg.rope_theta)
+                    kt = k.transpose(0, 2, 1, 3)
+                    vt = v.reshape(B, T, Hkv, D).transpose(0, 2, 1, 3)
+                    pos0 = positions[:, 0]
+                    cache = dataclasses.replace(
+                        cache,
+                        k=llama._write_cache_layer(cache.k, li, kt, pos0),
+                        v=llama._write_cache_layer(cache.v, li, vt, pos0))
+                o = (q + 1e-6 * jnp.sum(v)).reshape(B, T, Hq * D)
+                out = llama.apply_linear(o.astype(h.dtype), layer["wo"],
+                                         xq8=lcfg.x_quant8)
+                return out, cache
+
+            def mlp_mat(layer, h):
+                x = llama.rms_norm(h, layer["mlp_norm"], lcfg.rms_eps)
+                gate, up = llama.gate_up_proj(layer, x, xq8=lcfg.x_quant8)
+                return llama.apply_linear(up + 1e-6 * gate, layer["w_down"],
+                                          xq8=lcfg.x_quant8)
 
             def step(carry, _):
                 tok, cache = carry
@@ -93,8 +131,15 @@ def main():
                             layer, lcfg, h, cache, li, positions,
                             decode=True)
                         h = h + attn
+                    elif mode in ("attn_mat", "attn_nofd"):
+                        attn, cache = attn_ablate(
+                            layer, h, cache, li, positions,
+                            with_rope=(mode == "attn_nofd"))
+                        h = h + attn
                     if mode in ("full", "mlp"):
                         h = h + llama._mlp_block(layer, lcfg, h)
+                    elif mode == "mlp_mat":
+                        h = h + mlp_mat(layer, h)
                 h = llama.rms_norm(h, params["final_norm"], lcfg.rms_eps)
                 logits = llama.apply_linear(h[:, -1], params["lm_head"],
                                             xq8=lcfg.x_quant8)
@@ -130,7 +175,9 @@ def main():
           f"non-layer (embed+head+argmax): {base_ms:5.2f} ms", flush=True)
 
     # block ablations, layer-marginal within each mode
-    for mode in ("attn", "mlp"):
+    modes = ("attn", "mlp", "attn_mat", "attn_nofd", "mlp_mat") \
+        if args.ablate else ("attn", "mlp")
+    for mode in modes:
         g = make_stepper(mode)
         pm = {}
         for nl in (L // 2, L):
