@@ -132,6 +132,71 @@ def _decode_kernel(len_ref, q_ref, k_ref, v_ref,
         s_ref[0, 0, 0] = l_scr[...]
 
 
+def _decode_kernel_ht(len_ref, q_ref, k_ref, v_ref,
+                      o_ref, m_ref, s_ref,
+                      m_scr, l_scr, acc_scr, *,
+                      scale: float, bk: int, n_blocks: int, ht: int,
+                      k_scale_ref=None, v_scale_ref=None):
+    """Head-tiled variant for G == 1 (MHA, no GQA grouping): each grid step
+    processes ``ht`` KV heads at once.
+
+    With G == 1 the per-step work of the base kernel is a single
+    [1, D] x [D, bk] matvec — so small that the ~0.5-0.8 us fixed cost per
+    grid step dominates (a 7B MHA model runs B*Hkv*blocks = 128 steps per
+    layer). Tiling ``ht`` heads per step cuts the step count by ht and
+    turns QK^T / P·V into vectorized VPU multiply-reduces over the head
+    tile ([ht, bk, D] elementwise + lane/sublane reduction) — per-head
+    1-row MXU dots would waste 127/128 of the MXU anyway (the same reason
+    the reference's query-replication trick is wasteful,
+    /root/reference/src/flash_row_float.h:21-38). Same online-softmax
+    state and LSE semantics as ``_decode_kernel``, rows = heads.
+    """
+    b, sp, blk = pl.program_id(0), pl.program_id(2), pl.program_id(3)
+    d = q_ref.shape[-1]
+    quantized = k_scale_ref is not None
+
+    @pl.when(blk == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    length = len_ref[b]
+    base = (sp * n_blocks + blk) * bk
+
+    @pl.when(base < length)
+    def _compute():
+        q = q_ref[...].reshape(ht, 1, d).astype(jnp.float32)
+        k = k_ref[...].reshape(ht, bk, d).astype(jnp.float32)
+        s = jnp.sum(q * k, axis=-1)                        # [ht, bk]
+        if quantized:
+            s = s * (k_scale_ref[...].reshape(ht, bk) * scale)
+        else:
+            s = s * scale
+        kpos = base + jax.lax.broadcasted_iota(jnp.int32, (ht, bk), 1)
+        s = jnp.where(kpos < length, s, DEFAULT_MASK_VALUE)
+
+        m_prev, l_prev = m_scr[...], l_scr[...]            # [ht, 128]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :1])                     # [ht, bk]
+        l_next = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[...] = m_next
+        l_scr[...] = l_next
+        acc_scr[...] *= alpha[:, :1]
+        v = v_ref[...].reshape(ht, bk, d).astype(jnp.float32)
+        if quantized:
+            p = p * v_scale_ref[...].reshape(ht, bk)
+        acc_scr[...] += jnp.sum(p[:, :, None] * v, axis=1)  # [ht, D]
+
+    @pl.when(blk == n_blocks - 1)
+    def _emit():
+        o_ref[...] = acc_scr[...].reshape(o_ref.shape)
+        m_ref[...] = m_scr[...].reshape(m_ref.shape)
+        s_ref[...] = l_scr[...].reshape(s_ref.shape)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "kv_splits", "block_k", "return_partial",
@@ -188,7 +253,17 @@ def flash_decode(
 
     qg = q.reshape(B, Hkv, G, D)
 
-    grid = (B, Hkv, n_splits, n_blocks)
+    # Head tile: with G == 1 (MHA) the per-step work is a single-row
+    # matvec, so grid-step fixed cost dominates — process ``hb`` heads per
+    # step via the vectorized _decode_kernel_ht (see its docstring).
+    hb = 1
+    if G == 1:
+        for cand in (8, 4, 2):
+            if Hkv % cand == 0:
+                hb = cand
+                break
+
+    grid = (B, Hkv // hb, n_splits, n_blocks)
 
     # Clamp the KV block index to the last block that intersects `length`
     # (lens is the scalar-prefetch ref, trailing index-map argument): the
@@ -210,16 +285,17 @@ def flash_decode(
     assert (v_scale is not None) == quantized, \
         "k_scale and v_scale must be given together"
 
-    kv_block = (1, 1, 1, bk, D) if layered else (1, 1, bk, D)
+    kv_block = (1, 1, hb, bk, D) if layered else (1, hb, bk, D)
     in_specs = [
-        pl.BlockSpec((1, 1, G, D), lambda b, h, sp, blk, *refs: (b, h, 0, 0)),
+        pl.BlockSpec((1, hb, G, D),
+                     lambda b, h, sp, blk, *refs: (b, h, 0, 0)),
         pl.BlockSpec(kv_block, kv_index),
         pl.BlockSpec(kv_block, kv_index),
     ]
     args = [qg, k, v]
     if quantized:
         scale_index = lambda *a: kv_index(*a)[:-1]
-        sc_block = (1, 1, 1, bk) if layered else (1, 1, bk)
+        sc_block = (1, 1, hb, bk) if layered else (1, hb, bk)
         in_specs += [pl.BlockSpec(sc_block, scale_index)] * 2
         args += [k_scale, v_scale]
 
@@ -236,9 +312,14 @@ def flash_decode(
             rest = rest[2:]
         else:
             ks_ref = vs_ref = None
-        _decode_kernel(len_ref, q_ref, k_ref, v_ref, *rest,
-                       scale=scale, bk=bk, n_blocks=n_blocks,
-                       k_scale_ref=ks_ref, v_scale_ref=vs_ref)
+        if hb > 1:
+            _decode_kernel_ht(len_ref, q_ref, k_ref, v_ref, *rest,
+                              scale=scale, bk=bk, n_blocks=n_blocks, ht=hb,
+                              k_scale_ref=ks_ref, v_scale_ref=vs_ref)
+        else:
+            _decode_kernel(len_ref, q_ref, k_ref, v_ref, *rest,
+                           scale=scale, bk=bk, n_blocks=n_blocks,
+                           k_scale_ref=ks_ref, v_scale_ref=vs_ref)
 
     part_index = lambda b, h, sp, blk, *refs: (b, h, sp, 0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -246,14 +327,14 @@ def flash_decode(
         grid=grid,
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, 1, 1, G, D), part_index),
-            pl.BlockSpec((1, 1, 1, G, 128), part_index),
-            pl.BlockSpec((1, 1, 1, G, 128), part_index),
+            pl.BlockSpec((1, hb, 1, G, D), part_index),
+            pl.BlockSpec((1, hb, 1, G, 128), part_index),
+            pl.BlockSpec((1, hb, 1, G, 128), part_index),
         ],
         scratch_shapes=[
-            pltpu.VMEM((G, 128), jnp.float32),
-            pltpu.VMEM((G, 128), jnp.float32),
-            pltpu.VMEM((G, D), jnp.float32),
+            pltpu.VMEM((hb * G, 128), jnp.float32),
+            pltpu.VMEM((hb * G, 128), jnp.float32),
+            pltpu.VMEM((hb * G, D), jnp.float32),
         ],
     )
 
