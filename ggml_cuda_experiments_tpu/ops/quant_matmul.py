@@ -922,6 +922,14 @@ def _qmatmul_chunk8(xp, ql, N, K, kb, block_n, out_dtype, interpret):
     # limit, which a 1024-row tile at K=12288 exceeds (measured 17.02M).
     # bn*K <= 6.3M keeps both measured-good points (1024@4096, 512@12288)
     # and scales between them.
+    #
+    # Measured dead ends (7B layer-marginal, do not re-try):
+    #   bn=2048@K=4096: 94.6 tok/s; bn=1408@4096: 104.9; bn=640@12288:
+    #   MLP 161->209 us/layer — all worse than 1024/512 (110.5 tok/s).
+    #   bf16 selector dots (cast lo/p + ea/eb, f32 accumulate): 73 tok/s —
+    #   Mosaic's int8 MXU dot really is ~2x the bf16 rate here.
+    #   Hoisting the activation prep out of the call made no measurable
+    #   difference (prep is already fused/cheap).
     bn = block_n or max(256, min(1024, int(6.3e6 / K) // 128 * 128))
     bn = min(bn, N)
     Np = -(-N // bn) * bn
