@@ -81,18 +81,21 @@ def _rope_one(x, positions, theta):
     return llama.rope(x, positions, theta)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",),
-                   donate_argnames=("pool",))
-def paged_prefill(params: Params, cfg: ModelConfig, tokens: jax.Array,
-                  length: jax.Array, page_row: jax.Array, pool: PagedKVPool
-                  ) -> tuple[jax.Array, PagedKVPool]:
+def _paged_prefill(params: Params, cfg: ModelConfig, tokens: jax.Array,
+                   length: jax.Array, page_row: jax.Array, pool: PagedKVPool,
+                   reduce_axis: str | None = None
+                   ) -> tuple[jax.Array, PagedKVPool]:
     """Prefill ONE request: tokens [1, T] (T = padded prompt), length scalar
     (true prompt length), page_row [pages_per_seq]. Returns last-valid-token
     logits [1, V] and the pool with the prompt's KV written.
 
     Padded-tail tokens (t >= length) are routed to the reserved trash page
     (the pool's last page, never allocated) so they cannot corrupt another
-    sequence's pages."""
+    sequence's pages.
+
+    ``reduce_axis``: shard_map axis name for tensor parallelism (cfg then
+    describes the local shard; one psum after wo and one after w_down, the
+    Megatron row-parallel contractions — see parallel/tp.py)."""
     B, T = tokens.shape
     ps = pool.k.shape[3]
     trash = pool.k.shape[2] - 1
@@ -135,8 +138,10 @@ def paged_prefill(params: Params, cfg: ModelConfig, tokens: jax.Array,
         ).transpose(0, 2, 1, 3)
         o = o.reshape(B, T, cfg.n_heads * cfg.head_dim).astype(h.dtype)
         attn = llama.apply_linear(o, layer["wo"])
+        if reduce_axis is not None:
+            attn = jax.lax.psum(attn, reduce_axis)
         h = h + attn
-        h = h + llama._mlp_block(layer, cfg, h)
+        h = h + llama._mlp_block(layer, cfg, h, reduce_axis=reduce_axis)
 
     h = llama.rms_norm(h, params["final_norm"], cfg.rms_eps)
     last = h[jnp.arange(B), length - 1]          # [B, dim] at true last token
@@ -150,12 +155,15 @@ def paged_prefill(params: Params, cfg: ModelConfig, tokens: jax.Array,
     return logits, new_pool
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "ppcb"),
-                   donate_argnames=("pool",))
-def paged_decode_step(params: Params, cfg: ModelConfig, tokens: jax.Array,
-                      lengths: jax.Array, page_indices: jax.Array,
-                      pool: PagedKVPool, active: jax.Array, ppcb: int = 1
-                      ) -> tuple[jax.Array, PagedKVPool]:
+paged_prefill = functools.partial(jax.jit, static_argnames=("cfg",),
+                                  donate_argnames=("pool",))(_paged_prefill)
+
+
+def _paged_decode_step(params: Params, cfg: ModelConfig, tokens: jax.Array,
+                       lengths: jax.Array, page_indices: jax.Array,
+                       pool: PagedKVPool, active: jax.Array, ppcb: int = 1,
+                       reduce_axis: str | None = None
+                       ) -> tuple[jax.Array, PagedKVPool]:
     """One decode step for the whole running batch.
 
     tokens [B] last sampled token per slot; lengths [B] current lengths
@@ -214,8 +222,10 @@ def paged_decode_step(params: Params, cfg: ModelConfig, tokens: jax.Array,
 
         o = o.reshape(B, 1, cfg.n_heads * cfg.head_dim).astype(h.dtype)
         attn = llama.apply_linear(o, layer["wo"])
+        if reduce_axis is not None:
+            attn = jax.lax.psum(attn, reduce_axis)
         h = h + attn
-        h = h + llama._mlp_block(layer, cfg, h)
+        h = h + llama._mlp_block(layer, cfg, h, reduce_axis=reduce_axis)
 
     h = llama.rms_norm(h, params["final_norm"], cfg.rms_eps)
     logits = llama.apply_linear(h[:, 0], params["lm_head"]).astype(jnp.float32)
@@ -225,6 +235,73 @@ def paged_decode_step(params: Params, cfg: ModelConfig, tokens: jax.Array,
         v_scale=jnp.stack(new_vs) if pool.quantized else None,
     )
     return logits, new_pool
+
+
+paged_decode_step = functools.partial(
+    jax.jit, static_argnames=("cfg", "ppcb"),
+    donate_argnames=("pool",))(_paged_decode_step)
+
+
+# ---------------------------------------------------------------------------
+# tensor-parallel wrappers (BASELINE config 4: engine over a model mesh)
+# ---------------------------------------------------------------------------
+
+def _pool_specs(pool: PagedKVPool):
+    """PartitionSpec tree for the pool: KV heads on the ``model`` axis
+    (dim 1 of [L, Hkv, n_pages, ps, D]) — GQA co-location keeps paged
+    attention communication-free, exactly as for the contiguous cache
+    (parallel/tp.py)."""
+    from jax.sharding import PartitionSpec as P
+    s5 = P(None, "model", None, None, None)
+    s4 = P(None, "model", None, None)
+    return PagedKVPool(
+        k=s5, v=s5,
+        k_scale=None if pool.k_scale is None else s4,
+        v_scale=None if pool.v_scale is None else s4,
+    )
+
+
+def make_tp_engine_steps(cfg: ModelConfig, mesh, params: Params,
+                         pool: PagedKVPool):
+    """Build shard_map-ed (prefill, decode) steps for a tensor-parallel
+    engine. ``params`` must already be TP-sharded (parallel/tp.py:
+    quantize_params_sharded + shard_params); cfg is the GLOBAL config.
+    Logits come back vocab-sharded and are reassembled by the out spec."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+    from ggml_cuda_experiments_tpu.parallel import tp
+
+    lcfg = tp.local_config(cfg, mesh.shape["model"])
+    pspecs = tp.param_specs(params)
+    kvspecs = _pool_specs(pool)
+    rep = P()
+
+    def prefill(params, tokens, length, page_row, pool):
+        return _paged_prefill(params, lcfg, tokens, length, page_row, pool,
+                              reduce_axis="model")
+
+    def decode(params, tokens, lengths, page_indices, pool, active, *,
+               ppcb):
+        return _paged_decode_step(params, lcfg, tokens, lengths,
+                                  page_indices, pool, active, ppcb=ppcb,
+                                  reduce_axis="model")
+
+    prefill_s = jax.jit(shard_map(
+        prefill, mesh=mesh,
+        in_specs=(pspecs, rep, rep, rep, kvspecs),
+        out_specs=(P(None, "model"), kvspecs),
+        check_vma=False,
+    ), donate_argnums=(4,))
+
+    def make_decode(ppcb):
+        return jax.jit(shard_map(
+            functools.partial(decode, ppcb=ppcb), mesh=mesh,
+            in_specs=(pspecs, rep, rep, rep, kvspecs, rep),
+            out_specs=(P(None, "model"), kvspecs),
+            check_vma=False,
+        ), donate_argnums=(4,))
+
+    return prefill_s, make_decode
 
 
 # ---------------------------------------------------------------------------
@@ -268,7 +345,7 @@ class Engine:
                  n_pages: int = 256, max_seq_len: int | None = None,
                  quantized_kv: bool = False, eos_id: int | None = None,
                  sampling: SamplingParams | None = None, seed: int = 0,
-                 scheduler: str = "python"):
+                 scheduler: str = "python", mesh=None):
         self.params = params
         self.cfg = cfg
         # default greedy (temperature 0); per-step PRNG folds the step count
@@ -297,6 +374,27 @@ class Engine:
         self.eos_id = eos_id
         # largest pages-per-compute-block (<=4) dividing pages_per_seq
         self.ppcb = next(c for c in (4, 2, 1) if self.pages_per_seq % c == 0)
+
+        # device step functions: plain jitted, or shard_map'd over a
+        # tensor-parallel mesh (params must then be TP-sharded, see
+        # parallel/tp.py; the pool is re-placed KV-head-sharded here)
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+            kvspecs = _pool_specs(self.pool)
+            self.pool = jax.tree.map(
+                lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
+                self.pool, kvspecs)
+            prefill_s, make_decode = make_tp_engine_steps(
+                cfg, mesh, params, self.pool)
+            decode_s = make_decode(self.ppcb)
+            self._prefill_fn = lambda *a: prefill_s(self.params, *a)
+            self._decode_fn = lambda *a: decode_s(self.params, *a)
+        else:
+            self._prefill_fn = lambda *a: paged_prefill(
+                self.params, self.cfg, *a)
+            self._decode_fn = lambda *a: paged_decode_step(
+                self.params, self.cfg, *a, ppcb=self.ppcb)
 
         self.waiting: list[Request] = []
         self.running: list[Request] = []
@@ -327,10 +425,10 @@ class Engine:
             return finished
 
         active = np.array([r is not None for r in self.slot_req])
-        logits, self.pool = paged_decode_step(
-            self.params, self.cfg, jnp.asarray(self.tokens),
+        logits, self.pool = self._decode_fn(
+            jnp.asarray(self.tokens),
             jnp.asarray(self.lengths), jnp.asarray(self.page_table),
-            self.pool, jnp.asarray(active), ppcb=self.ppcb)
+            self.pool, jnp.asarray(active))
         next_tokens = np.asarray(self._sample(logits)).astype(np.int32)
 
         if self._nsched is not None:
@@ -409,8 +507,8 @@ class Engine:
         T = max(16, 1 << (len(req.prompt) - 1).bit_length())
         toks = np.zeros((1, T), np.int32)
         toks[0, :len(req.prompt)] = req.prompt
-        logits, self.pool = paged_prefill(
-            self.params, self.cfg, jnp.asarray(toks),
+        logits, self.pool = self._prefill_fn(
+            jnp.asarray(toks),
             jnp.asarray(len(req.prompt), jnp.int32),
             jnp.asarray(row), self.pool)
         first = int(np.asarray(self._sample(logits))[0])

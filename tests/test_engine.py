@@ -76,3 +76,59 @@ def test_int8_kv_engine_runs(params, rng):
     want = _ref_generate(params, prompt, 5)
     agree = sum(a == b for a, b in zip(out[rid], want))
     assert agree >= 3, f"{out[rid]} vs {want}"
+
+
+def test_tensor_parallel_engine_matches_single(params, rng):
+    """BASELINE config 4: continuous batching with the model tensor-sharded
+    over a 'model' mesh axis — outputs must match the unsharded engine
+    token-for-token (psum after wo/w_down is the only communication)."""
+    from ggml_cuda_experiments_tpu.parallel import tp
+    from ggml_cuda_experiments_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(model=2, data=1)
+    prompts = [rng.integers(0, CFG.vocab_size, size=n).tolist()
+               for n in (7, 11)]
+    wants = [_ref_generate(params, p, 5) for p in prompts]
+
+    sparams = tp.shard_params(params, mesh)
+    eng = Engine(sparams, CFG, max_batch=2, page_size=32, n_pages=64,
+                 max_seq_len=256, mesh=mesh)
+    rids = [eng.add_request(p, max_new_tokens=5) for p in prompts]
+    out = eng.run_to_completion()
+    for rid, want in zip(rids, wants):
+        assert out[rid] == want, f"req {rid}: {out[rid]} vs {want}"
+
+
+def test_tensor_parallel_engine_quantized_weights(params, rng):
+    """TP engine with Q4_0 weights (per-shard interleaved row-parallel
+    encoding; the debug model's 128-wide wo K-shards are below the Q4_K
+    superblock, so the 32-block format stands in) + int8 paged KV — the
+    full config-4 stack."""
+    from ggml_cuda_experiments_tpu.parallel import tp
+    from ggml_cuda_experiments_tpu.parallel.mesh import make_mesh
+
+    import jax
+
+    mesh = make_mesh(model=2, data=1)
+    qp = tp.quantize_params_sharded(
+        jax.tree.map(lambda a: np.asarray(a, np.float32), params),
+        "q4_0", 2)
+    sq = tp.shard_params(qp, mesh)
+
+    prompt = rng.integers(0, CFG.vocab_size, size=9).tolist()
+    # reference: GLOBALLY-encoded quantization (the per-shard row-parallel
+    # encoding from quantize_params_sharded is only decodable once sliced
+    # by shard_map; its dequantized VALUES are identical because shard cuts
+    # align to block bounds)
+    gq = llama.quantize_params(params, "q4_0", pad_intermediate=False)
+    eng_ref = Engine(gq, CFG, max_batch=2, page_size=32, n_pages=64,
+                     max_seq_len=256, quantized_kv=True)
+    rid0 = eng_ref.add_request(prompt, max_new_tokens=4)
+    want = eng_ref.run_to_completion()[rid0]
+
+    eng = Engine(sq, CFG, max_batch=2, page_size=32, n_pages=64,
+                 max_seq_len=256, quantized_kv=True, mesh=mesh)
+    rid = eng.add_request(prompt, max_new_tokens=4)
+    out = eng.run_to_completion()
+    agree = sum(a == b for a, b in zip(out[rid], want))
+    assert agree >= 3, f"{out[rid]} vs {want}"
