@@ -52,14 +52,23 @@ class PagedKVPool:
     def quantized(self) -> bool:
         return self.k_scale is not None
 
+    @property
+    def quant_fmt(self) -> str | None:
+        if not self.quantized:
+            return None
+        return "int8" if self.k.dtype == jnp.int8 else "fp8"
+
     @staticmethod
     def create(cfg: ModelConfig, n_pages: int, page_size: int,
-               quantized: bool = False, dtype=jnp.bfloat16) -> "PagedKVPool":
+               quantized: bool | str = False, dtype=jnp.bfloat16
+               ) -> "PagedKVPool":
+        """``quantized``: False, True/"int8", or "fp8" (float8_e4m3)."""
         shape = (cfg.n_layers, cfg.n_kv_heads, n_pages, page_size,
                  cfg.head_dim)
         if quantized:
+            qdt = jnp.float8_e4m3fn if quantized == "fp8" else jnp.int8
             return PagedKVPool(
-                k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
+                k=jnp.zeros(shape, qdt), v=jnp.zeros(shape, qdt),
                 k_scale=jnp.zeros(shape[:-1], jnp.float32),
                 v_scale=jnp.zeros(shape[:-1], jnp.float32))
         return PagedKVPool(k=jnp.zeros(shape, dtype),
@@ -118,8 +127,8 @@ def _paged_prefill(params: Params, cfg: ModelConfig, tokens: jax.Array,
         vt = v.transpose(0, 2, 1, 3)[0]
 
         if pool.quantized:
-            kq, ksc = llama._quantize_rowwise(kt)
-            vq, vsc = llama._quantize_rowwise(vt)
+            kq, ksc = llama._quantize_rowwise(kt, pool.quant_fmt)
+            vq, vsc = llama._quantize_rowwise(vt, pool.quant_fmt)
             new_k.append(_scatter_tokens(pool.k[li], kq, pages, offs))
             new_v.append(_scatter_tokens(pool.v[li], vq, pages, offs))
             new_ks.append(_scatter_tokens(pool.k_scale[li], ksc, pages, offs))
@@ -196,8 +205,8 @@ def _paged_decode_step(params: Params, cfg: ModelConfig, tokens: jax.Array,
 
         # scatter the batch's new tokens: index arrays are [B]
         if pool.quantized:
-            kq, ksc = llama._quantize_rowwise(kt)
-            vq, vsc = llama._quantize_rowwise(vt)
+            kq, ksc = llama._quantize_rowwise(kt, pool.quant_fmt)
+            vq, vsc = llama._quantize_rowwise(vt, pool.quant_fmt)
             pk = pool.k[li].at[:, pages_b, offs_b].set(
                 kq.transpose(1, 0, 2))
             pv = pool.v[li].at[:, pages_b, offs_b].set(

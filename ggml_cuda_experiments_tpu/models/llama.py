@@ -110,7 +110,7 @@ def rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
 class KVCache:
     """Contiguous per-layer KV cache (paged variant in ops/paged_attention).
 
-    k, v: [n_layers, B, Hkv, S, D] (bf16, or int8 when quantized);
+    k, v: [n_layers, B, Hkv, S, D] (bf16; int8 or f8_e4m3 when quantized);
     k_scale, v_scale: [n_layers, B, Hkv, S] f32 per-token dequant scales
     (None for the unquantized cache); lengths: [B] valid prefix length.
     """
@@ -124,14 +124,24 @@ class KVCache:
     def quantized(self) -> bool:
         return self.k_scale is not None
 
+    @property
+    def quant_fmt(self) -> str | None:
+        if not self.quantized:
+            return None
+        return "int8" if self.k.dtype == jnp.int8 else "fp8"
+
     @staticmethod
     def create(cfg: ModelConfig, batch: int, max_len: int,
-               dtype=jnp.bfloat16, quantized: bool = False) -> "KVCache":
+               dtype=jnp.bfloat16, quantized: bool | str = False
+               ) -> "KVCache":
+        """``quantized``: False, True/"int8", or "fp8" (float8_e4m3 payload
+        with the same per-token f32 scales — BASELINE's INT8/FP8 KV)."""
         shape = (cfg.n_layers, batch, cfg.n_kv_heads, max_len, cfg.head_dim)
         if quantized:
+            qdt = jnp.float8_e4m3fn if quantized == "fp8" else jnp.int8
             return KVCache(
-                k=jnp.zeros(shape, jnp.int8),
-                v=jnp.zeros(shape, jnp.int8),
+                k=jnp.zeros(shape, qdt),
+                v=jnp.zeros(shape, qdt),
                 lengths=jnp.zeros((batch,), jnp.int32),
                 k_scale=jnp.zeros(shape[:-1], jnp.float32),
                 v_scale=jnp.zeros(shape[:-1], jnp.float32),
@@ -164,14 +174,20 @@ def _write_cache_layer(cache: jax.Array, li, new: jax.Array,
     return cache
 
 
-def _quantize_rowwise(x: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Per-token absmax int8 quantization of [..., D] (jnp analog of the
-    oracle's quantize_int8_rowwise)."""
+def _quantize_rowwise(x: jax.Array, fmt: str = "int8"
+                      ) -> tuple[jax.Array, jax.Array]:
+    """Per-token absmax quantization of [..., D] to int8 or float8_e4m3
+    (jnp analog of the oracle's quantize_{int8,fp8}_rowwise)."""
     xf = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
-    scale = amax / 127.0
-    q = jnp.clip(jnp.round(xf / jnp.where(scale == 0.0, 1.0, scale)),
-                 -127, 127).astype(jnp.int8)
+    if fmt == "fp8":
+        scale = amax / 448.0
+        q = (xf / jnp.where(scale == 0.0, 1.0, scale)
+             ).astype(jnp.float8_e4m3fn)
+    else:
+        scale = amax / 127.0
+        q = jnp.clip(jnp.round(xf / jnp.where(scale == 0.0, 1.0, scale)),
+                     -127, 127).astype(jnp.int8)
     return q, scale[..., 0]
 
 
@@ -211,8 +227,8 @@ def _attention_block(layer: Params, cfg: ModelConfig, h: jax.Array,
     vt = v.transpose(0, 2, 1, 3)
     pos0 = positions[:, 0]
     if quantized:
-        kq, ksc = _quantize_rowwise(kt)
-        vq, vsc = _quantize_rowwise(vt)
+        kq, ksc = _quantize_rowwise(kt, cache.quant_fmt)
+        vq, vsc = _quantize_rowwise(vt, cache.quant_fmt)
         cache = KVCache(
             k=_write_cache_layer(cache.k, li, kq, pos0, b0, valid),
             v=_write_cache_layer(cache.v, li, vq, pos0, b0, valid),

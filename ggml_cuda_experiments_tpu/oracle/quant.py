@@ -303,6 +303,28 @@ def dequantize_int8_rowwise(qs: np.ndarray, scale: np.ndarray) -> np.ndarray:
     return qs.astype(np.float32) * scale
 
 
+FP8_MAX = 448.0     # float8_e4m3fn largest finite value
+
+
+def quantize_fp8_rowwise(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-last-axis absmax float8_e4m3 quantization: returns
+    (qs f8_e4m3fn, scale f32). The per-row scale maps the absmax to the f8
+    dynamic range; f8 keeps ~3 mantissa bits vs int8's uniform grid, so
+    small-magnitude entries quantize relatively better and large ones
+    worse — the usual e4m3-KV trade."""
+    import ml_dtypes
+    x = np.asarray(x, np.float32)
+    amax = np.max(np.abs(x), axis=-1, keepdims=True)
+    scale = amax / FP8_MAX
+    inv = np_div(np.ones_like(scale), scale)
+    q = (x * inv).astype(ml_dtypes.float8_e4m3fn)
+    return q, scale.astype(np.float32)
+
+
+def dequantize_fp8_rowwise(qs: np.ndarray, scale: np.ndarray) -> np.ndarray:
+    return qs.astype(np.float32) * scale
+
+
 FORMATS = {
     "q8_0": (quantize_q8_0, dequantize_q8_0),
     "q4_0": (quantize_q4_0, dequantize_q4_0),

@@ -152,3 +152,25 @@ def test_int8_quantized_kv(rng):
         kv_splits=2)
     want = _decode_ref(q, kd, vd, lengths)
     assert_close(got, want, atol=2e-2, rtol=2e-2, name="decode int8 kv")
+
+
+def test_fp8_quantized_kv(rng):
+    """FLOAT8_E4M3 KV cache with per-token scales (BASELINE's INT8/FP8 KV):
+    kernel must match the oracle run on the dequantized cache."""
+    import ml_dtypes
+    from ggml_cuda_experiments_tpu.oracle.quant import (
+        dequantize_fp8_rowwise, quantize_fp8_rowwise)
+    q, k, v = _rand(rng, 2, 8, 4, 512, 64)
+    kq, ks = quantize_fp8_rowwise(k)
+    vq, vs = quantize_fp8_rowwise(v)
+    kd = dequantize_fp8_rowwise(kq, ks)
+    vd = dequantize_fp8_rowwise(vq, vs)
+    lengths = np.array([300, 512], np.int32)
+
+    got = flash_decode(
+        jnp.asarray(q), jnp.asarray(kq), jnp.asarray(vq),
+        jnp.asarray(lengths),
+        k_scale=jnp.asarray(ks[..., 0]), v_scale=jnp.asarray(vs[..., 0]),
+        kv_splits=2)
+    want = _decode_ref(q, kd, vd, lengths)
+    assert_close(got, want, atol=2e-2, rtol=2e-2, name="decode fp8 kv")

@@ -108,3 +108,29 @@ def test_int8_kv_cache_decode(params, rng):
     # decode reads the quantized cache -> small extra error
     c = np.corrcoef(np.asarray(df).ravel(), np.asarray(dq).ravel())[0, 1]
     assert c > 0.999, f"int8 kv decode corr {c}"
+
+
+def test_fp8_kv_cache_decode(params, rng):
+    """FLOAT8_E4M3 KV cache end-to-end: decode logits correlate with the
+    bf16-cache model (e4m3's ~3 mantissa bits cost more than int8's uniform
+    grid on near-amax entries, hence the looser gate), and generation runs.
+    Exact kernel-level correctness vs the dequantized cache is asserted in
+    tests/test_flash_decode.py::test_fp8_quantized_kv."""
+    toks = _prompt(rng, 2, 8)
+    cache_f = llama.KVCache.create(CFG, 2, 256)
+    cache_q = llama.KVCache.create(CFG, 2, 256, quantized="fp8")
+    assert cache_q.quant_fmt == "fp8"
+
+    lf, cache_f = llama.prefill(params, CFG, toks, cache_f)
+    lq, cache_q = llama.prefill(params, CFG, toks, cache_q)
+    assert_close(lq, lf, atol=2e-2, rtol=2e-2, name="fp8kv prefill")
+
+    nxt = jnp.argmax(lf, -1).astype(jnp.int32)
+    df, _ = llama.decode_step(params, CFG, nxt, cache_f)
+    dq, _ = llama.decode_step(params, CFG, nxt, cache_q)
+    c = np.corrcoef(np.asarray(df).ravel(), np.asarray(dq).ravel())[0, 1]
+    assert c > 0.99, f"fp8 kv decode corr {c}"
+
+    cache = llama.KVCache.create(CFG, 1, 256, quantized="fp8")
+    out = llama.generate(params, CFG, toks[:1], steps=4, cache=cache)
+    assert out.shape == (1, 4)
