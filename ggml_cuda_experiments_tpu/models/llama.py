@@ -35,6 +35,9 @@ Params = dict[str, Any]
 # below this batch*seq size the fused-dequant streaming kernel wins; above,
 # XLA's dequant+matmul (MXU-bound) is better
 _QMATVEC_MAX_ROWS = 32
+# up to this many rows the pipelined dequant+MXU GEMM beats XLA's
+# dequant round trip AND its resident activation block fits VMEM
+_QPIPE_MAX_ROWS = 512
 
 
 def apply_linear(x: jax.Array, w, xq8: bool = False) -> jax.Array:
@@ -44,6 +47,13 @@ def apply_linear(x: jax.Array, w, xq8: bool = False) -> jax.Array:
     if isinstance(w, QuantLinear):
         if x2.shape[0] <= _QMATVEC_MAX_ROWS:
             y = qmatmul(x2, w, x_quant8=xq8)
+        elif x2.shape[0] <= _QPIPE_MAX_ROWS and w.fmt != "q6_k":
+            # prefill-sized GEMM: software-pipelined dequant (VPU) + bf16
+            # dot (MXU) — weights stream HBM once at 0.56 B/weight instead
+            # of the XLA fallback's dequantize-to-HBM round trip
+            # (~4.5 B/weight); 7B TTFT measurement drove this cutoff.
+            # Falls back to qmatmul_xla internally for non-repeat-aligned K.
+            y = qmatmul(x2, w, pipelined=True)
         else:
             y = qmatmul_xla(x2, w)
     else:

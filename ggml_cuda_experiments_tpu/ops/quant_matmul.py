@@ -724,6 +724,16 @@ def qmatmul(
     fields = _FIELDS[ql.fmt]
 
     if pipelined and _rep_aligned(kb):
+        if B > 8:
+            # prefill-sized GEMM: the resident activation block must be
+            # slim (B=512 f32 x would eat 8 MB of VMEM; the dot is bf16
+            # anyway)
+            xp = xp.astype(jnp.bfloat16)
+            # resident x (2*B*K) + the [2, bn, K] bf16 dequant scratch must
+            # fit VMEM even at bn=128, else Mosaic's compiler crashes
+            # (observed at B=512, K=12288); XLA's dequant+matmul takes over
+            if 2 * B * K + 4 * 128 * K > 12_500_000:
+                return qmatmul_xla(x, ql, compute_dtype=jnp.bfloat16)
         return _qmatmul_pipelined(xp, ql, B, N, K, kb, block_n, out_dtype,
                                   interpret)
 
@@ -1041,7 +1051,12 @@ def _qmatmul_pipelined(xp, ql, B, N, K, kb, block_n, out_dtype, interpret):
     if Bp != B:
         xp = jnp.pad(xp, ((0, Bp - B), (0, 0)))
     if block_n is None:
-        block_n = 256 if K > 8192 else 512
+        # big-B (prefill) tiles stay small: x + the [2, bn, K] bf16 scratch
+        # + double-buffered payload must fit VMEM
+        block_n = 256 if (K > 8192 or B > 64) else 512
+        if B > 8:
+            budget = int((12_500_000 - 2 * B * K) // (4 * K))
+            block_n = max(128, min(block_n, budget // 128 * 128))
     bn = min(block_n, N)
     Np = -(-N // bn) * bn
 
