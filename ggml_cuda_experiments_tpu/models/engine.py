@@ -75,13 +75,6 @@ class PagedKVPool:
                            v=jnp.zeros(shape, dtype))
 
 
-def _scatter_tokens(pool_l: jax.Array, new: jax.Array, pages: jax.Array,
-                    offs: jax.Array) -> jax.Array:
-    """Write new [Hkv, T, ...] into pool_l [Hkv, n_pages, ps, ...] at
-    (pages[t], offs[t])."""
-    return pool_l.at[:, pages, offs].set(new.astype(pool_l.dtype))
-
-
 # ---------------------------------------------------------------------------
 # jitted device steps
 # ---------------------------------------------------------------------------
@@ -114,7 +107,13 @@ def _paged_prefill(params: Params, cfg: ModelConfig, tokens: jax.Array,
     pages = jnp.where(t_idx < length, page_row[t_idx // ps], trash)
     offs = t_idx % ps
 
-    new_k, new_v, new_ks, new_vs = [], [], [], []
+    # running FULL pool arrays: per-(layer, token) scatters into the donated
+    # 5-D arrays alias in place; a per-layer slice + end-of-step jnp.stack
+    # would copy the entire pool every call (pool.k[li, :, pages[t], offs[t]]
+    # writes a [T, Hkv, ...]-shaped update — advanced dims lead because the
+    # head slice separates them)
+    pk, pv = pool.k, pool.v
+    pks, pvs = pool.k_scale, pool.v_scale
     for li, layer in enumerate(params["layers"]):
         x = llama.rms_norm(h, layer["attn_norm"], cfg.rms_eps)
         q, k, v = llama.qkv_proj(layer, x, cfg)
@@ -129,13 +128,17 @@ def _paged_prefill(params: Params, cfg: ModelConfig, tokens: jax.Array,
         if pool.quantized:
             kq, ksc = llama._quantize_rowwise(kt, pool.quant_fmt)
             vq, vsc = llama._quantize_rowwise(vt, pool.quant_fmt)
-            new_k.append(_scatter_tokens(pool.k[li], kq, pages, offs))
-            new_v.append(_scatter_tokens(pool.v[li], vq, pages, offs))
-            new_ks.append(_scatter_tokens(pool.k_scale[li], ksc, pages, offs))
-            new_vs.append(_scatter_tokens(pool.v_scale[li], vsc, pages, offs))
+            pk = pk.at[li, :, pages, offs].set(
+                kq.swapaxes(0, 1).astype(pk.dtype))
+            pv = pv.at[li, :, pages, offs].set(
+                vq.swapaxes(0, 1).astype(pv.dtype))
+            pks = pks.at[li, :, pages, offs].set(ksc.T)
+            pvs = pvs.at[li, :, pages, offs].set(vsc.T)
         else:
-            new_k.append(_scatter_tokens(pool.k[li], kt, pages, offs))
-            new_v.append(_scatter_tokens(pool.v[li], vt, pages, offs))
+            pk = pk.at[li, :, pages, offs].set(
+                kt.swapaxes(0, 1).astype(pk.dtype))
+            pv = pv.at[li, :, pages, offs].set(
+                vt.swapaxes(0, 1).astype(pv.dtype))
 
         # attention over the fresh bf16 K/V; padded tail masked causally +
         # by length
@@ -156,11 +159,7 @@ def _paged_prefill(params: Params, cfg: ModelConfig, tokens: jax.Array,
     last = h[jnp.arange(B), length - 1]          # [B, dim] at true last token
     logits = llama.apply_linear(last, params["lm_head"]).astype(jnp.float32)
 
-    new_pool = PagedKVPool(
-        k=jnp.stack(new_k), v=jnp.stack(new_v),
-        k_scale=jnp.stack(new_ks) if pool.quantized else None,
-        v_scale=jnp.stack(new_vs) if pool.quantized else None,
-    )
+    new_pool = PagedKVPool(k=pk, v=pv, k_scale=pks, v_scale=pvs)
     return logits, new_pool
 
 
@@ -191,7 +190,12 @@ def _paged_decode_step(params: Params, cfg: ModelConfig, tokens: jax.Array,
     pages_b = jnp.where(active, pages_b, trash)   # idle slots -> trash page
     offs_b = lengths % ps
 
-    new_k, new_v, new_ks, new_vs = [], [], [], []
+    # running FULL pool arrays (see _paged_prefill): tiny scatters alias in
+    # place under donation, and the layer-indexed paged_decode consumes the
+    # full 5-D pool (a per-layer slice operand would copy the whole layer's
+    # pool — ~67 MB per layer at 7B-serving pool sizes — every step)
+    pk, pv = pool.k, pool.v
+    pks, pvs = pool.k_scale, pool.v_scale
     for li, layer in enumerate(params["layers"]):
         x = llama.rms_norm(h, layer["attn_norm"], cfg.rms_eps)
         q, k, v = llama.qkv_proj(layer, x, cfg)
@@ -203,31 +207,24 @@ def _paged_decode_step(params: Params, cfg: ModelConfig, tokens: jax.Array,
         kt = k[:, 0]                                       # [B, Hkv, D]
         vt = v[:, 0]
 
-        # scatter the batch's new tokens: index arrays are [B]
+        # scatter the batch's new tokens: index arrays are [B]; the update
+        # value is [B, Hkv, D] (advanced dims lead across the head slice)
         if pool.quantized:
             kq, ksc = llama._quantize_rowwise(kt, pool.quant_fmt)
             vq, vsc = llama._quantize_rowwise(vt, pool.quant_fmt)
-            pk = pool.k[li].at[:, pages_b, offs_b].set(
-                kq.transpose(1, 0, 2))
-            pv = pool.v[li].at[:, pages_b, offs_b].set(
-                vq.transpose(1, 0, 2))
-            pks = pool.k_scale[li].at[:, pages_b, offs_b].set(ksc.T)
-            pvs = pool.v_scale[li].at[:, pages_b, offs_b].set(vsc.T)
-            new_ks.append(pks)
-            new_vs.append(pvs)
+            pk = pk.at[li, :, pages_b, offs_b].set(kq.astype(pk.dtype))
+            pv = pv.at[li, :, pages_b, offs_b].set(vq.astype(pv.dtype))
+            pks = pks.at[li, :, pages_b, offs_b].set(ksc)
+            pvs = pvs.at[li, :, pages_b, offs_b].set(vsc)
             o = paged_decode(
                 q, pk, pv, lengths + 1, page_indices,
                 k_scale_pages=pks, v_scale_pages=pvs,
-                pages_per_compute_block=ppcb)
+                pages_per_compute_block=ppcb, layer=li)
         else:
-            pk = pool.k[li].at[:, pages_b, offs_b].set(
-                kt.astype(pool.k.dtype).transpose(1, 0, 2))
-            pv = pool.v[li].at[:, pages_b, offs_b].set(
-                vt.astype(pool.v.dtype).transpose(1, 0, 2))
+            pk = pk.at[li, :, pages_b, offs_b].set(kt.astype(pk.dtype))
+            pv = pv.at[li, :, pages_b, offs_b].set(vt.astype(pv.dtype))
             o = paged_decode(q, pk, pv, lengths + 1, page_indices,
-                             pages_per_compute_block=ppcb)
-        new_k.append(pk)
-        new_v.append(pv)
+                             pages_per_compute_block=ppcb, layer=li)
 
         o = o.reshape(B, 1, cfg.n_heads * cfg.head_dim).astype(h.dtype)
         attn = llama.apply_linear(o, layer["wo"])
@@ -238,11 +235,7 @@ def _paged_decode_step(params: Params, cfg: ModelConfig, tokens: jax.Array,
 
     h = llama.rms_norm(h, params["final_norm"], cfg.rms_eps)
     logits = llama.apply_linear(h[:, 0], params["lm_head"]).astype(jnp.float32)
-    new_pool = PagedKVPool(
-        k=jnp.stack(new_k), v=jnp.stack(new_v),
-        k_scale=jnp.stack(new_ks) if pool.quantized else None,
-        v_scale=jnp.stack(new_vs) if pool.quantized else None,
-    )
+    new_pool = PagedKVPool(k=pk, v=pv, k_scale=pks, v_scale=pvs)
     return logits, new_pool
 
 

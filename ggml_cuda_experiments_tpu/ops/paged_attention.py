@@ -34,12 +34,19 @@ DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 def _paged_kernel(
     # scalar prefetch
-    len_ref, pages_ref,
-    # inputs
-    q_ref, k_pages, v_pages, *rest,
+    len_ref, pages_ref, *rest,
     scale: float, page_size: int, ppcb: int, n_blocks: int, n_kv_heads: int,
-    batch: int, quantized: bool,
+    batch: int, quantized: bool, layered: bool,
 ):
+    if layered:
+        # the pools carry a leading layer dim; DMAs index the prefetched
+        # layer scalar, so the caller never materializes a layer slice of
+        # the (large) page pool to feed the kernel
+        layer_ref, rest = rest[0], rest[1:]
+        lyr = (layer_ref[0],)
+    else:
+        lyr = ()
+    q_ref, k_pages, v_pages, rest = rest[0], rest[1], rest[2], rest[3:]
     if quantized:
         (ks_pages, vs_pages, o_ref,
          k_buf, v_buf, ks_buf, vs_buf, sems, state,
@@ -52,7 +59,7 @@ def _paged_kernel(
     b, h, i = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     g, d = q_ref.shape[2], q_ref.shape[3]
     bk = ppcb * page_size
-    n_pages_total = k_pages.shape[1]
+    n_pages_total = k_pages.shape[-3]
 
     def nblocks_of(bb):
         return pl.cdiv(len_ref[bb], bk)
@@ -66,18 +73,19 @@ def _paged_kernel(
         for p in range(ppcb):
             page = jnp.minimum(pages_ref[bb, ii * ppcb + p],
                                n_pages_total - 1)
+            idx = lyr + (hh, page)
             dmas.append(pltpu.make_async_copy(
-                k_pages.at[hh, page], k_buf.at[slot, p],
+                k_pages.at[idx], k_buf.at[slot, p],
                 sems.at[0, slot, p]))
             dmas.append(pltpu.make_async_copy(
-                v_pages.at[hh, page], v_buf.at[slot, p],
+                v_pages.at[idx], v_buf.at[slot, p],
                 sems.at[1, slot, p]))
             if quantized:
                 dmas.append(pltpu.make_async_copy(
-                    ks_pages.at[hh, page], ks_buf.at[slot, p],
+                    ks_pages.at[idx], ks_buf.at[slot, p],
                     sems.at[2, slot, p]))
                 dmas.append(pltpu.make_async_copy(
-                    vs_pages.at[hh, page], vs_buf.at[slot, p],
+                    vs_pages.at[idx], vs_buf.at[slot, p],
                     sems.at[3, slot, p]))
         return dmas
 
@@ -196,19 +204,30 @@ def paged_decode(
     v_scale_pages: jax.Array | None = None,
     scale: float | None = None,
     pages_per_compute_block: int = 4,
+    layer: jax.Array | int | None = None,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Single-token attention over a paged KV cache.
 
     q:            [B, Hq, D]
-    k/v_pages:    [Hkv, n_pages, page_size, D] shared page pool
+    k/v_pages:    [Hkv, n_pages, page_size, D] shared page pool, OR the
+                  full per-layer pool [L, Hkv, n_pages, page_size, D]
+                  together with ``layer`` — the layer is selected by the
+                  in-kernel DMAs (scalar prefetch), so no layer slice of
+                  the pool is ever materialized (an XLA slice feeding the
+                  custom call would copy the whole layer's pool per call)
     lengths:      [B] int32 valid tokens per sequence (>= 1)
     page_indices: [B, pages_per_seq] int32 logical->physical page map
-    k/v_scale_pages: [Hkv, n_pages, page_size] f32 for int8 pages
+    k/v_scale_pages: [(L,) Hkv, n_pages, page_size] f32 for int8 pages
+    layer: scalar int selecting the pool layer when pages are 5-D
     Returns O [B, Hq, D] in q's dtype.
     """
     B, Hq, D = q.shape
-    Hkv, n_pages, page_size, _ = k_pages.shape
+    layered = k_pages.ndim == 5
+    assert layered == (layer is not None), \
+        "pass `layer` iff the page pools carry a leading layer dimension"
+    Hkv, n_pages, page_size, _ = k_pages.shape[1:] if layered \
+        else k_pages.shape
     pages_per_seq = page_indices.shape[1]
     assert Hq % Hkv == 0
     G = Hq // Hkv
@@ -225,7 +244,7 @@ def paged_decode(
 
     tensor_in_specs = [
         pl.BlockSpec((1, 1, G, D),
-                     lambda b, h, i, lens, pages: (b, h, 0, 0)),
+                     lambda b, h, i, *refs: (b, h, 0, 0)),
         pl.BlockSpec(memory_space=pl.ANY),       # k_pages (manual DMA)
         pl.BlockSpec(memory_space=pl.ANY),       # v_pages
     ]
@@ -251,25 +270,30 @@ def paged_decode(
         pltpu.VMEM((G, D), jnp.float32),             # acc
     ]
 
+    prefetch = [lengths.astype(jnp.int32), page_indices.astype(jnp.int32)]
+    if layered:
+        prefetch.append(jnp.atleast_1d(jnp.asarray(layer, jnp.int32)))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=2 + layered,
         grid=(B, Hkv, n_blocks),
         in_specs=tensor_in_specs,
         out_specs=pl.BlockSpec((1, 1, G, D),
-                               lambda b, h, i, lens, pages: (b, h, 0, 0)),
+                               lambda b, h, i, *refs: (b, h, 0, 0)),
         scratch_shapes=scratch,
     )
 
     out = pl.pallas_call(
         functools.partial(
             _paged_kernel, scale=scale, page_size=page_size, ppcb=ppcb,
-            n_blocks=n_blocks, n_kv_heads=Hkv, batch=B, quantized=quantized),
+            n_blocks=n_blocks, n_kv_heads=Hkv, batch=B, quantized=quantized,
+            layered=layered),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=interpret_default(interpret),
-    )(lengths.astype(jnp.int32), page_indices.astype(jnp.int32), *args)
+    )(*prefetch, *args)
 
     return out.reshape(B, Hq, D)

@@ -92,3 +92,22 @@ def test_paged_int8(rng):
                        pages_per_compute_block=2)
     assert_close(np.asarray(got), np.asarray(want), atol=2e-2, rtol=2e-2,
                  name="paged int8")
+
+
+def test_layered_pool_matches_sliced(rng):
+    """Full 5-D page pool + layer index must bit-match the per-layer-slice
+    call (layer selected by the in-kernel DMAs, so the engine never
+    materializes a layer slice of the pool)."""
+    L, B, Hq, Hkv, npg, ps, D = 3, 2, 8, 4, 16, 32, 64
+    kp = jnp.asarray(rng.normal(size=(L, Hkv, npg, ps, D)), jnp.bfloat16)
+    vp = jnp.asarray(rng.normal(size=(L, Hkv, npg, ps, D)), jnp.bfloat16)
+    q = jnp.asarray(rng.normal(size=(B, Hq, D)), jnp.bfloat16)
+    lens = jnp.asarray([70, 200], jnp.int32)
+    pidx = jnp.asarray(
+        rng.permutation(npg - 1)[:14].reshape(2, 7), jnp.int32)
+    for li in (0, 2):
+        want = paged_decode(q, kp[li], vp[li], lens, pidx,
+                            pages_per_compute_block=1)
+        got = paged_decode(q, kp, vp, lens, pidx,
+                           pages_per_compute_block=1, layer=li)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
