@@ -10,8 +10,13 @@ cooperative_groups::memcpy_async shared-memory staging,
 /root/reference/src/flash_row_float.h:241-252 and
 /root/reference/src/flash-matrix.cu:18-65, done with Pallas DMA).
 
-Supports bf16 pages and int8 pages with per-token scales (scales applied to
-score/probability rows, not the D-wide tiles — see flash_decode).
+Supports bf16 pages and int8/fp8 pages with per-token scales (scales applied
+to score/probability rows, not the D-wide tiles — see flash_decode).
+NOTE: quantized pools need ``page_size`` to be a multiple of 128 on real
+TPUs — the per-page scale DMA is a [page_size]-lane slice and Mosaic
+requires lane slices aligned to the 128 tiling ("Slice shape along
+dimension 3 must be aligned to tiling (128)"); bf16 pools take any
+page_size (their [page_size, D] tiles slice sublanes, aligned to 8).
 
 Layout: pages are [Hkv, n_pages, page_size, D] so one (head, page) DMA is a
 contiguous [page_size, D] tile with D on lanes — both QK^T and P·V contract
@@ -81,11 +86,16 @@ def _paged_kernel(
                 v_pages.at[idx], v_buf.at[slot, p],
                 sems.at[1, slot, p]))
             if quantized:
+                # scales land in a FLAT [bk]-lane row (page p at lane
+                # offset p*page_size): a [ppcb, ps] -> [1, bk] reshape at
+                # use time is a sublane->lane cast Mosaic cannot lower
                 dmas.append(pltpu.make_async_copy(
-                    ks_pages.at[idx], ks_buf.at[slot, p],
+                    ks_pages.at[idx],
+                    ks_buf.at[slot, pl.ds(p * page_size, page_size)],
                     sems.at[2, slot, p]))
                 dmas.append(pltpu.make_async_copy(
-                    vs_pages.at[idx], vs_buf.at[slot, p],
+                    vs_pages.at[idx],
+                    vs_buf.at[slot, pl.ds(p * page_size, page_size)],
                     sems.at[3, slot, p]))
         return dmas
 
@@ -153,7 +163,7 @@ def _paged_kernel(
                 q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            s = s * (ks_buf[slot].reshape(1, bk) * scale)
+            s = s * (ks_buf[slot][None, :] * scale)
         else:
             s = jax.lax.dot_general(
                 q.astype(k.dtype), k,
@@ -173,7 +183,7 @@ def _paged_kernel(
         acc_scr[...] *= alpha[:, :1]
         v = v_buf[slot].reshape(bk, d)
         if quantized:
-            pv = (p * vs_buf[slot].reshape(1, bk)).astype(jnp.bfloat16)
+            pv = (p * vs_buf[slot][None, :]).astype(jnp.bfloat16)
             acc_scr[...] += jax.lax.dot(
                 pv, v.astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32)
@@ -258,8 +268,8 @@ def paged_decode(
         tensor_in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 2
         args += [k_scale_pages, v_scale_pages]
         scratch += [
-            pltpu.VMEM((2, ppcb, page_size), jnp.float32),
-            pltpu.VMEM((2, ppcb, page_size), jnp.float32),
+            pltpu.VMEM((2, ppcb * page_size), jnp.float32),
+            pltpu.VMEM((2, ppcb * page_size), jnp.float32),
         ]
         n_sem_kinds = 4
     scratch += [

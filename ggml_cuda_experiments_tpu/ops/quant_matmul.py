@@ -1051,9 +1051,11 @@ def _qmatmul_pipelined(xp, ql, B, N, K, kb, block_n, out_dtype, interpret):
     if Bp != B:
         xp = jnp.pad(xp, ((0, Bp - B), (0, 0)))
     if block_n is None:
-        # big-B (prefill) tiles stay small: x + the [2, bn, K] bf16 scratch
-        # + double-buffered payload must fit VMEM
-        block_n = 256 if (K > 8192 or B > 64) else 512
+        # big-B (prefill) tiles stay small: x + the [2, bn, K] bf16
+        # scratch + the f32 dequant temporaries + double-buffered payload
+        # must fit scoped VMEM (bn=512 at B=64, K=4096 measured 18.88M —
+        # over the 16M limit)
+        block_n = 256 if (K > 8192 or B > 8) else 512
         if B > 8:
             budget = int((12_500_000 - 2 * B * K) // (4 * K))
             block_n = max(128, min(block_n, budget // 128 * 128))

@@ -132,3 +132,17 @@ def test_tensor_parallel_engine_quantized_weights(params, rng):
     out = eng.run_to_completion()
     agree = sum(a == b for a, b in zip(out[rid], want))
     assert agree >= 3, f"{out[rid]} vs {want}"
+
+
+def test_decode_window_matches_single_step(params, rng):
+    """Multi-step decode windows (K iterations per dispatch via lax.scan)
+    must produce the same tokens as single-step scheduling."""
+    prompts = [rng.integers(0, CFG.vocab_size, size=n).tolist()
+               for n in (5, 12)]
+    wants = [_ref_generate(params, p, 7) for p in prompts]
+    eng = Engine(params, CFG, max_batch=2, page_size=32, n_pages=64,
+                 max_seq_len=256, decode_window=4)
+    rids = [eng.add_request(p, max_new_tokens=7) for p in prompts]
+    out = eng.run_to_completion()
+    for rid, want in zip(rids, wants):
+        assert out[rid] == want, f"req {rid}: {out[rid]} vs {want}"

@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Continuous-batching engine throughput on the real chip (config 4 shape).
+
+Measures steady-state generated tokens/s with N concurrent requests through
+the full Engine stack (paged pool, page allocator, admission, sampling) —
+the serving-side complement to bench.py's jitted-scan decode number.
+
+Usage: python tools/engine_bench.py [--model llama2-7b] [--batch 8]
+       [--prompt 64] [--gen 64] [--pages 128] [--int8-kv] [--native-sched]
+"""
+
+import argparse
+import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="llama2-7b")
+    ap.add_argument("--fmt", default="q4_k")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--prompt", type=int, default=64)
+    ap.add_argument("--gen", type=int, default=64)
+    ap.add_argument("--pages", type=int, default=128)
+    ap.add_argument("--page-size", type=int, default=64)
+    ap.add_argument("--int8-kv", action="store_true")
+    ap.add_argument("--native-sched", action="store_true")
+    ap.add_argument("--window", type=int, default=1)
+    args = ap.parse_args()
+
+    from ggml_cuda_experiments_tpu.models.config import PRESETS
+    from ggml_cuda_experiments_tpu.models import llama
+    from ggml_cuda_experiments_tpu.models.engine import Engine
+    from ggml_cuda_experiments_tpu.utils import loader
+
+    cfg = dataclasses.replace(PRESETS[args.model], x_quant8=True)
+    ckpt = f"/tmp/bench_ckpt_{args.model}_{args.fmt}_v3.gctc"
+    t0 = time.perf_counter()
+    if os.path.exists(ckpt):
+        params = loader.load_params(ckpt)
+    else:
+        params = llama.quantize_params(
+            llama.init_weights(cfg, seed=0, as_numpy=True), args.fmt)
+    params = jax.device_put(params)
+    jax.block_until_ready(jax.tree.leaves(params))
+    print(f"params ready in {time.perf_counter()-t0:.0f}s", flush=True)
+
+    rng = np.random.default_rng(0)
+    max_seq = args.prompt + args.gen
+
+    def run(n_req):
+        eng = Engine(
+            params, cfg, max_batch=args.batch, page_size=args.page_size,
+            n_pages=args.pages,
+            max_seq_len=-(-max_seq // args.page_size) * args.page_size,
+            quantized_kv=args.int8_kv,
+            scheduler="native" if args.native_sched else "python",
+            decode_window=args.window)
+        for _ in range(n_req):
+            eng.add_request(
+                rng.integers(0, cfg.vocab_size, size=args.prompt).tolist(),
+                max_new_tokens=args.gen)
+        t0 = time.perf_counter()
+        out = eng.run_to_completion()
+        dt = time.perf_counter() - t0
+        toks = sum(len(v) for v in out.values())
+        return toks, dt
+
+    run(args.batch)                          # compile prefill+decode
+    # marginal over request count removes compile/fixed costs
+    t_small = run(args.batch)
+    t_big = run(args.batch * 3)
+    toks = t_big[0] - t_small[0]
+    secs = t_big[1] - t_small[1]
+    print(f"{args.model} {args.fmt} engine (batch {args.batch}, "
+          f"prompt {args.prompt}, gen {args.gen}"
+          f"{', int8 kv' if args.int8_kv else ''}): "
+          f"{toks/secs:.1f} generated tok/s steady-state "
+          f"({t_big[0]} toks in {t_big[1]:.1f}s total)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
