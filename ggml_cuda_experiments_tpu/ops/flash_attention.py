@@ -169,11 +169,27 @@ def flash_attention(
     n_kv = Sk // bk
     has_mask = mask is not None
 
+    # DMA-level causal skip: tiles past the causal frontier clamp their KV
+    # block index to the last valid tile for this query row — the index map
+    # then repeats the previous grid step's block, so Pallas issues NO new
+    # DMA and KV bytes scale with the causal triangle, not the rectangle.
+    # (Beats the reference's compute-only -INF skip, flash-llama.h:276-278;
+    # same trick as the length clamp in ops/flash_decode.py.)
+    offset = Sk - Sq
+    if causal:
+        def _ik_eff(iq, ik):
+            return jnp.minimum(ik, (iq * bq + bq - 1 + offset) // bk)
+    else:
+        def _ik_eff(iq, ik):
+            return ik
+
     grid = (B, Hq, Sq // bq, n_kv)
     in_specs = [
         pl.BlockSpec((1, 1, bq, D), lambda b, h, iq, ik: (b, h, iq, 0)),
-        pl.BlockSpec((1, 1, bk, D), lambda b, h, iq, ik: (b, h // r, ik, 0)),
-        pl.BlockSpec((1, 1, bk, D), lambda b, h, iq, ik: (b, h // r, ik, 0)),
+        pl.BlockSpec((1, 1, bk, D),
+                     lambda b, h, iq, ik: (b, h // r, _ik_eff(iq, ik), 0)),
+        pl.BlockSpec((1, 1, bk, D),
+                     lambda b, h, iq, ik: (b, h // r, _ik_eff(iq, ik), 0)),
     ]
     args = [q, k, v]
     if has_mask:
@@ -181,7 +197,8 @@ def flash_attention(
         mb, mh = mask.shape[0], mask.shape[1]
         in_specs.append(pl.BlockSpec(
             (1, 1, bq, bk),
-            lambda b, h, iq, ik: (b if mb > 1 else 0, h if mh > 1 else 0, iq, ik),
+            lambda b, h, iq, ik: (b if mb > 1 else 0, h if mh > 1 else 0,
+                                  iq, _ik_eff(iq, ik)),
         ))
         args.append(mask)
     else:
