@@ -167,6 +167,100 @@ paged_prefill = functools.partial(jax.jit, static_argnames=("cfg",),
                                   donate_argnames=("pool",))(_paged_prefill)
 
 
+def _paged_prefill_chunk(params: Params, cfg: ModelConfig,
+                         tokens: jax.Array, pos0: jax.Array,
+                         length: jax.Array, page_row: jax.Array,
+                         pool: PagedKVPool, *, with_logits: bool = False
+                         ) -> tuple[jax.Array | None, PagedKVPool]:
+    """Chunked prefill: forward ONE fixed-size window of a prompt against
+    the page pool. tokens [1, C] are the prompt slice [pos0, pos0+C) (tail
+    padded past ``length``); previous chunks' KV is read back from the pool
+    (gather over ``page_row``), so a long prompt is processed in C-token
+    steps interleaved with decode — one admitted prompt can no longer
+    stall every running request's decode for its full length.
+
+    The gather (pages -> contiguous [Hkv, S, D]) is XLA-fused into the
+    dequant + attention operands; its bytes are 1/C of the chunk's
+    attention traffic. Returns (last-valid-position logits if
+    ``with_logits`` else None, pool with the window written).
+    """
+    B, C = tokens.shape
+    ps = pool.k.shape[3]
+    trash = pool.k.shape[2] - 1
+    P = page_row.shape[0]
+    S = P * ps
+    h = params["embed"][tokens]
+    t_glob = pos0 + jnp.arange(C, dtype=jnp.int32)           # [C]
+    positions = jnp.broadcast_to(t_glob, (B, C))
+    pages = jnp.where(t_glob < length, page_row[t_glob // ps], trash)
+    offs = t_glob % ps
+
+    kv_pos = jnp.arange(S, dtype=jnp.int32)[None, None, None, :]
+    q_pos = t_glob[None, None, :, None]
+    mask = jnp.where(
+        (kv_pos <= q_pos) & (kv_pos < length), 0.0, -jnp.inf
+    ).astype(jnp.float32)                                    # [1,1,C,S]
+
+    pk, pv = pool.k, pool.v
+    pks, pvs = pool.k_scale, pool.v_scale
+    for li, layer in enumerate(params["layers"]):
+        x = llama.rms_norm(h, layer["attn_norm"], cfg.rms_eps)
+        q, k, v = llama.qkv_proj(layer, x, cfg)
+        q = q.reshape(B, C, cfg.n_heads, cfg.head_dim)
+        k = k.reshape(B, C, cfg.n_kv_heads, cfg.head_dim)
+        v = v.reshape(B, C, cfg.n_kv_heads, cfg.head_dim)
+        q = _rope_one(q, positions, cfg.rope_theta)
+        k = _rope_one(k, positions, cfg.rope_theta)
+        kt = k.transpose(0, 2, 1, 3)[0]                      # [Hkv, C, D]
+        vt = v.transpose(0, 2, 1, 3)[0]
+
+        if pool.quantized:
+            kq, ksc = llama._quantize_rowwise(kt, pool.quant_fmt)
+            vq, vsc = llama._quantize_rowwise(vt, pool.quant_fmt)
+            pk = pk.at[li, :, pages, offs].set(
+                kq.swapaxes(0, 1).astype(pk.dtype))
+            pv = pv.at[li, :, pages, offs].set(
+                vq.swapaxes(0, 1).astype(pv.dtype))
+            pks = pks.at[li, :, pages, offs].set(ksc.T)
+            pvs = pvs.at[li, :, pages, offs].set(vsc.T)
+            kg = jnp.take(pk[li], page_row, axis=1).astype(jnp.float32)
+            vg = jnp.take(pv[li], page_row, axis=1).astype(jnp.float32)
+            ksg = jnp.take(pks[li], page_row, axis=1)
+            vsg = jnp.take(pvs[li], page_row, axis=1)
+            kseq = (kg * ksg[..., None]).reshape(
+                1, cfg.n_kv_heads, S, cfg.head_dim).astype(jnp.bfloat16)
+            vseq = (vg * vsg[..., None]).reshape(
+                1, cfg.n_kv_heads, S, cfg.head_dim).astype(jnp.bfloat16)
+        else:
+            pk = pk.at[li, :, pages, offs].set(
+                kt.swapaxes(0, 1).astype(pk.dtype))
+            pv = pv.at[li, :, pages, offs].set(
+                vt.swapaxes(0, 1).astype(pv.dtype))
+            kseq = jnp.take(pk[li], page_row, axis=1).reshape(
+                1, cfg.n_kv_heads, S, cfg.head_dim)
+            vseq = jnp.take(pv[li], page_row, axis=1).reshape(
+                1, cfg.n_kv_heads, S, cfg.head_dim)
+
+        o = flash_attention(
+            q.transpose(0, 2, 1, 3).astype(kseq.dtype), kseq, vseq, mask,
+        ).transpose(0, 2, 1, 3)
+        o = o.reshape(B, C, cfg.n_heads * cfg.head_dim).astype(h.dtype)
+        h = h + llama.apply_linear(o, layer["wo"])
+        h = h + llama._mlp_block(layer, cfg, h)
+
+    if not with_logits:
+        return None, PagedKVPool(k=pk, v=pv, k_scale=pks, v_scale=pvs)
+    h = llama.rms_norm(h, params["final_norm"], cfg.rms_eps)
+    last = h[jnp.arange(B), length - 1 - pos0]
+    logits = llama.apply_linear(last, params["lm_head"]).astype(jnp.float32)
+    return logits, PagedKVPool(k=pk, v=pv, k_scale=pks, v_scale=pvs)
+
+
+paged_prefill_chunk = functools.partial(
+    jax.jit, static_argnames=("cfg", "with_logits"),
+    donate_argnames=("pool",))(_paged_prefill_chunk)
+
+
 def _paged_decode_step(params: Params, cfg: ModelConfig, tokens: jax.Array,
                        lengths: jax.Array, page_indices: jax.Array,
                        pool: PagedKVPool, active: jax.Array, ppcb: int = 1,
@@ -355,6 +449,8 @@ class Request:
     n_generated: int = 0
     first_dev: Any = None
     start_step: int = 0
+    # chunked prefill progress (tokens of the prompt already processed)
+    prefill_pos: int = 0
 
     @property
     def length(self) -> int:
@@ -384,7 +480,7 @@ class Engine:
                  quantized_kv: bool = False, eos_id: int | None = None,
                  sampling: SamplingParams | None = None, seed: int = 0,
                  scheduler: str = "python", mesh=None,
-                 decode_window: int = 1):
+                 decode_window: int = 1, prefill_chunk: int | None = None):
         self.params = params
         self.cfg = cfg
         # default greedy (temperature 0); per-step PRNG folds the step count
@@ -435,7 +531,18 @@ class Engine:
             self._decode_fn = lambda *a: paged_decode_step(
                 self.params, self.cfg, *a, ppcb=self.ppcb)
 
+        # Chunked prefill: prompts longer than ``prefill_chunk`` are
+        # processed one fixed-size chunk per scheduler step, interleaved
+        # with the running batch's decode steps — a long prompt cannot
+        # stall decodes for its full length (VERDICT r1 item 5).
+        self.prefill_chunk = prefill_chunk
+        if prefill_chunk is not None:
+            assert scheduler == "python", \
+                "prefill_chunk needs the python scheduler"
+            assert mesh is None, "prefill_chunk not yet supported with TP"
+
         self.waiting: list[Request] = []
+        self.prefilling: list[Request] = []
         self.running: list[Request] = []
         self._next_rid = 0
         # fixed-shape device-side slot state
@@ -483,10 +590,15 @@ class Engine:
         Returns {rid: generated_tokens} for requests finishing this step."""
         self._admit()
         finished: dict[int, list[int]] = {}
+        if self.prefilling:
+            # one prompt chunk per scheduler pass, interleaved with decode
+            self._prefill_step()
         if not self.running:
             return finished
 
-        active = np.array([r is not None for r in self.slot_req])
+        # prefilling slots hold pages but must not decode yet
+        active = np.array([r is not None and r in self.running
+                           for r in self.slot_req])
 
         if self._defer:
             # window size: the largest number of steps no running request
@@ -587,7 +699,7 @@ class Engine:
         out: dict[int, list[int]] = {}
         for _ in range(max_steps):
             out.update(self.step())
-            if not self.waiting and not self.running:
+            if not self.waiting and not self.running and not self.prefilling:
                 break
         return out
 
@@ -605,7 +717,8 @@ class Engine:
                 self.page_table[slot] = row.astype(np.int32)
                 self._prefill_slot(req, slot, self.page_table[slot])
             return
-        while self.waiting and len(self.running) < self.max_batch:
+        while (self.waiting and
+               len(self.running) + len(self.prefilling) < self.max_batch):
             req = self.waiting[0]
             need = -(-min(len(req.prompt) + req.max_new_tokens,
                           self.max_seq_len) // self.page_size)
@@ -616,11 +729,15 @@ class Engine:
             slot = self.slot_req.index(None)
             req.slot, req.pages = slot, pages
             self.slot_req[slot] = req
-            self.running.append(req)
             row = np.full((self.pages_per_seq,), self.trash_page, np.int32)
             row[:len(pages)] = pages
             self.page_table[slot] = row
-            self._prefill_slot(req, slot, row)
+            if (self.prefill_chunk is not None
+                    and len(req.prompt) > self.prefill_chunk):
+                self.prefilling.append(req)   # chunked, via _prefill_step
+            else:
+                self.running.append(req)
+                self._prefill_slot(req, slot, row)
 
     def _prefill_slot(self, req: Request, slot: int, row: np.ndarray
                       ) -> None:
@@ -632,6 +749,32 @@ class Engine:
             jnp.asarray(toks),
             jnp.asarray(len(req.prompt), jnp.int32),
             jnp.asarray(row), self.pool)
+        self._finish_prefill(req, logits)
+
+    def _prefill_step(self) -> None:
+        """Process the next chunk of the oldest prefilling request."""
+        req = self.prefilling[0]
+        C = self.prefill_chunk
+        pos0 = req.prefill_pos
+        last = pos0 + C >= len(req.prompt)
+        toks = np.zeros((1, C), np.int32)
+        sl = req.prompt[pos0:pos0 + C]
+        toks[0, :len(sl)] = sl
+        logits, self.pool = paged_prefill_chunk(
+            self.params, self.cfg, jnp.asarray(toks),
+            jnp.asarray(pos0, jnp.int32),
+            jnp.asarray(len(req.prompt), jnp.int32),
+            jnp.asarray(self.page_table[req.slot]), self.pool,
+            with_logits=last)
+        req.prefill_pos = pos0 + C
+        if last:
+            self.prefilling.pop(0)
+            self.running.append(req)
+            self._finish_prefill(req, logits)
+
+    def _finish_prefill(self, req: Request, logits) -> None:
+        """Sample the first token from the prefill's last-position logits."""
+        slot = req.slot
         if self._defer:
             first_dev = self._sample(logits)[0:1].astype(jnp.int32)
             jax.block_until_ready(first_dev)     # see step(): CPU donation race

@@ -8,7 +8,8 @@ import pytest
 from ggml_cuda_experiments_tpu.ops.paged_attention import paged_decode
 from ggml_cuda_experiments_tpu.ops.flash_decode import flash_decode
 from ggml_cuda_experiments_tpu.oracle.quant import (
-    dequantize_int8_rowwise, quantize_int8_rowwise)
+    dequantize_fp8_rowwise, dequantize_int8_rowwise,
+    quantize_fp8_rowwise, quantize_int8_rowwise)
 from ggml_cuda_experiments_tpu.utils.harness import assert_close
 
 
@@ -64,17 +65,21 @@ def test_paged_short_sequences(rng):
                  name="paged short seqs")
 
 
-def test_paged_int8(rng):
-    """int8 pages + per-token scales == contiguous int8 decode."""
+@pytest.mark.parametrize("fmt", ["int8", "fp8"])
+def test_paged_quantized(rng, fmt):
+    """int8/fp8 pages + per-token scales == contiguous quantized decode."""
     B, Hq, Hkv, D, ps, pps = 2, 8, 2, 64, 64, 4
     lengths = np.array([256, 200], np.int32)
     q, k, v, kp, vp, pidx = _paged_setup(rng, B, Hq, Hkv, D, ps, pps, lengths)
 
-    kq, ks = quantize_int8_rowwise(kp)
-    vq, vs = quantize_int8_rowwise(vp)
+    quant = quantize_int8_rowwise if fmt == "int8" else quantize_fp8_rowwise
+    dequant = (dequantize_int8_rowwise if fmt == "int8"
+               else dequantize_fp8_rowwise)
+    kq, ks = quant(kp)
+    vq, vs = quant(vp)
     # contiguous reference over the dequantized pool, gathered back
-    kd = dequantize_int8_rowwise(kq, ks)
-    vd = dequantize_int8_rowwise(vq, vs)
+    kd = dequant(kq, ks)
+    vd = dequant(vq, vs)
     k_contig = np.zeros_like(k)
     v_contig = np.zeros_like(v)
     for b in range(B):
@@ -91,7 +96,7 @@ def test_paged_int8(rng):
                        v_scale_pages=jnp.asarray(vs[..., 0]),
                        pages_per_compute_block=2)
     assert_close(np.asarray(got), np.asarray(want), atol=2e-2, rtol=2e-2,
-                 name="paged int8")
+                 name=f"paged {fmt}")
 
 
 def test_layered_pool_matches_sliced(rng):
