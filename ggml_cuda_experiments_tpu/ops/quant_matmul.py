@@ -839,8 +839,22 @@ def qmatmul(
     return out[:B, :N]
 
 
+def _row_splits(bn: int, target: int = 1024) -> tuple[int, ...]:
+    """Split a row tile into ~target-row subtiles (multiples of 128)."""
+    if bn <= target:
+        return (bn,)
+    ns = max(1, round(bn / target))
+    base = bn // ns // 128 * 128
+    sizes = [base] * ns
+    for i in range((bn - base * ns) // 128):
+        sizes[i] += 128
+    assert sum(sizes) == bn, (bn, sizes)
+    return tuple(sizes)
+
+
 def _chunk8_kernel(ea_ref, eb_ref, sc_ref, qs_ref, s1_ref, s2_ref, o_ref, *,
-                   fmt: str, n_segs: int = 1):
+                   fmt: str, n_segs: int = 1,
+                   splits: tuple[int, ...] | None = None):
     """Integer-dot B=1 q4 matvec (llama.cpp Q4_K x Q8 analog,
     ggml vec_dot_q4_K_q8_K re-asked for the MXU).
 
@@ -859,30 +873,48 @@ def _chunk8_kernel(ea_ref, eb_ref, sc_ref, qs_ref, s1_ref, s2_ref, o_ref, *,
     With the segment-local layout (n_segs > 1, see _perm) the selector is
     [KH, 128] and each 2048-byte segment contracts against its own slice —
     selector compute stays linear in K (N*K*64 MACs, ~0.47x the weight-DMA
-    time on the MXU) instead of the global layout's N*K*Kb/2. The dot must
-    still hide under the DMA: keep tiles small enough for Mosaic to
-    double-buffer (see _qmatmul_chunk8's bn choice)."""
-    p = qs_ref[...]                                   # [bn, K/2] int8
-    lo = p & 0x0F
+    time on the MXU) instead of the global layout's N*K*Kb/2.
+
+    ``splits`` (row-subtile sizes summing to bn): the AND + the two dots
+    run per ~1024-row subtile, so subtile i+1's nibble unpack (VPU) can
+    overlap subtile i's selector dots (MXU) and the ``lo`` temporary stays
+    small — with 4096-row tiles this measured 97% of the HBM roofline vs
+    70-76% for the monolithic body (tools/exp_q4_r2.py: sub4 vs full),
+    because per-grid-step fixed cost amortizes over 4x more DMA while the
+    unpack/dot chain still pipelines. The round-1 bn=2048 regression was
+    Mosaic's default ~16 MB scoped-VMEM limit: raised via
+    compiler_params (see _qmatmul_chunk8)."""
     dims = (((1,), (0,)), ((), ()))
-    if n_segs > 1:
-        csz = p.shape[1] // n_segs                    # bytes per segment
-        zl_parts, zp_parts = [], []
-        for s in range(n_segs):
-            sl = slice(s * csz, (s + 1) * csz)
-            zl_parts.append(jax.lax.dot_general(
-                lo[:, sl], ea_ref[sl, :], dims,
-                preferred_element_type=jnp.int32))
-            zp_parts.append(jax.lax.dot_general(
-                p[:, sl], eb_ref[sl, :], dims,
-                preferred_element_type=jnp.int32))
-        zl = jnp.concatenate(zl_parts, axis=1)        # [bn, S*128 = Kb]
-        zp = jnp.concatenate(zp_parts, axis=1)
-    else:
-        zl = jax.lax.dot_general(lo, ea_ref[...], dims,
-                                 preferred_element_type=jnp.int32)
-        zp = jax.lax.dot_general(p, eb_ref[...], dims,
-                                 preferred_element_type=jnp.int32)
+    splits = splits or (qs_ref.shape[0],)
+
+    def dots(p, lo):
+        if n_segs > 1:
+            csz = p.shape[1] // n_segs                # bytes per segment
+            zl_parts, zp_parts = [], []
+            for s in range(n_segs):
+                sl = slice(s * csz, (s + 1) * csz)
+                zl_parts.append(jax.lax.dot_general(
+                    lo[:, sl], ea_ref[sl, :], dims,
+                    preferred_element_type=jnp.int32))
+                zp_parts.append(jax.lax.dot_general(
+                    p[:, sl], eb_ref[sl, :], dims,
+                    preferred_element_type=jnp.int32))
+            return (jnp.concatenate(zl_parts, axis=1),    # [rows, Kb]
+                    jnp.concatenate(zp_parts, axis=1))
+        return (jax.lax.dot_general(lo, ea_ref[...], dims,
+                                    preferred_element_type=jnp.int32),
+                jax.lax.dot_general(p, eb_ref[...], dims,
+                                    preferred_element_type=jnp.int32))
+
+    zls, zps, r0 = [], [], 0
+    for rows in splits:
+        p = qs_ref[r0:r0 + rows, :]                   # [rows, K/2] int8
+        zl_i, zp_i = dots(p, p & 0x0F)
+        zls.append(zl_i)
+        zps.append(zp_i)
+        r0 += rows
+    zl = zls[0] if len(zls) == 1 else jnp.concatenate(zls, axis=0)
+    zp = zps[0] if len(zps) == 1 else jnp.concatenate(zps, axis=0)
     sa, sb = sc_ref[2:3], sc_ref[3:4]                 # [1, Kb] f32
     z = (sa * zl.astype(jnp.float32) + sb * zp.astype(jnp.float32)
          + sc_ref[0:1])
@@ -919,30 +951,51 @@ def _quant_rows_blockwise(v, kb, n_segs=1):
 
 
 def _qmatmul_chunk8(xp, ql, N, K, kb, block_n, out_dtype, interpret):
-    """Dispatch for the integer-dot B=1 q4 matvec (see _chunk8_kernel)."""
+    """Dispatch for the integer-dot B=1 q4 matvec (see _chunk8_kernel).
+
+    Tile policy (round-2, measured in tools/exp_q4_r2.py):
+    - BIG row tiles (up to 4096) amortize the ~0.5 us/grid-step fixed cost
+      (semaphores, index maps, epilogue) — the DMA floor measured 87% at
+      bn=1024 vs ~103% at bn=2048+.
+    - Mosaic's default ~16 MB scoped-VMEM limit made big tiles regress in
+      round 1 (bn=2048: 94.6 tok/s); compiler_params raises it (v5e has
+      128 MB physical VMEM) and the 2-slot payload is capped at ~32 MB.
+    - Row-subtiled kernel body (~1024-row subtiles, see _chunk8_kernel)
+      keeps the AND/dot chain pipelined at big tiles: 97% roofline
+      measured at bn=4096/4 subtiles vs 71-74% monolithic.
+    - bn is padding-aware: pick the step count first, then the smallest
+      128-multiple tile covering N in that many steps (N=11008 -> 3 x
+      3712 = 11136, 1.2% pad, instead of 3 x 4096 = 12288, 11.6% dead
+      DMA).
+    - Keep >= 2 grid steps when N allows so Mosaic double-buffers the
+      weight stream within the call (a 1-step grid serializes DMA and
+      compute).
+
+    Measured dead ends (do not re-try): bf16 selector dots (73 tok/s vs
+    110 int8); one-dot concat LHS [lo|p] against a stacked selector (the
+    in-kernel concat costs more than the saved dot: 44-51% roofline);
+    zp-on-MXU + zl-as-VPU-fold (72-76%).
+    """
     fields = _FIELDS[ql.fmt]
     kh = K // 2
-    # SMALL tiles: the selector dot costs ~N*K*kb int8 MXU ops — at
-    # Tile sizing: per-grid-step fixed cost (~0.5-0.8 us: semaphores, index
-    # maps, epilogue) dominates when the per-step DMA is small — in-model
-    # layer-marginal timing on 7B q4_k showed 256-row tiles cost the MLP
-    # ~80 us/layer of pure step overhead (attention 127.9 -> 112.3 us/layer
-    # just from bn 256 -> 512). But the working set (2 payload slots + int8
-    # temporaries + scales) must stay under Mosaic's ~16 MB scoped-VMEM
-    # limit, which a 1024-row tile at K=12288 exceeds (measured 17.02M).
-    # bn*K <= 6.3M keeps both measured-good points (1024@4096, 512@12288)
-    # and scales between them.
-    #
-    # Measured dead ends (7B layer-marginal, do not re-try):
-    #   bn=2048@K=4096: 94.6 tok/s; bn=1408@4096: 104.9; bn=640@12288:
-    #   MLP 161->209 us/layer — all worse than 1024/512 (110.5 tok/s).
-    #   bf16 selector dots (cast lo/p + ea/eb, f32 accumulate): 73 tok/s —
-    #   Mosaic's int8 MXU dot really is ~2x the bf16 rate here.
-    #   Hoisting the activation prep out of the call made no measurable
-    #   difference (prep is already fused/cheap).
-    bn = block_n or max(256, min(1024, int(6.3e6 / K) // 128 * 128))
-    bn = min(bn, N)
+    if block_n is None:
+        bn = min(4096, int(3.2e7) // K // 128 * 128)  # 2-slot payload cap
+        if N > bn:
+            steps = -(-N // bn)
+            bn = -(-N // steps // 128) * 128          # minimize padding
+        else:
+            bn = N if N % 128 == 0 else -(-N // 128) * 128
+        if bn == N and N >= 2048:
+            bn = -(-N // 2 // 128) * 128              # >= 2 steps
+    else:
+        bn = block_n
+    bn = min(bn, -(-N // 128) * 128)
     Np = -(-N // bn) * bn
+    splits = _row_splits(bn)
+    # raise Mosaic's scoped-VMEM limit (default ~16 MB) when the working
+    # set needs it — v5e has 128 MB physical VMEM and the probes ran the
+    # 4096-row tiles at a 100 MB cap without issue
+    vmem_bytes = 100 * 2**20 if bn * K > 6.3e6 else None
 
     def pad_rows(a):
         return (jnp.pad(a, ((0, Np - a.shape[0]), (0, 0)))
@@ -967,8 +1020,12 @@ def _qmatmul_chunk8(xp, ql, N, K, kb, block_n, out_dtype, interpret):
     sc = jnp.stack([c, xs, sa, sb])                   # [4, Kb] f32
     s1 = arrays[1]
     s2 = arrays[2] if len(arrays) > 2 else arrays[1]
+    cp = dict(dimension_semantics=("arbitrary",))
+    if vmem_bytes is not None:
+        cp["vmem_limit_bytes"] = vmem_bytes
     out = pl.pallas_call(
-        functools.partial(_chunk8_kernel, fmt=ql.fmt, n_segs=segs),
+        functools.partial(_chunk8_kernel, fmt=ql.fmt, n_segs=segs,
+                          splits=splits),
         out_shape=jax.ShapeDtypeStruct((1, Np), jnp.float32),
         grid=(Np // bn,),
         in_specs=[
@@ -980,8 +1037,7 @@ def _qmatmul_chunk8(xp, ql, N, K, kb, block_n, out_dtype, interpret):
             pl.BlockSpec((bn, kb), lambda n: (n, 0)),
         ],
         out_specs=pl.BlockSpec((1, bn), lambda n: (0, n)),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+        compiler_params=pltpu.CompilerParams(**cp),
         cost_estimate=pl.CostEstimate(
             flops=2 * N * K,
             bytes_accessed=sum(a_.size * a_.dtype.itemsize

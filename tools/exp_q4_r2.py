@@ -125,6 +125,44 @@ def k_full(ea_ref, eb_ref, sc_ref, qs_ref, s1_ref, s2_ref, o_ref):
                       fmt="q4_k", n_segs=1)
 
 
+def k_onedot(e2_ref, eb_ref, sc_ref, qs_ref, s1_ref, s2_ref, o_ref):
+    """ONE dot per step: lhs = [lo | p] [bn, K], selector e2 [K, 256] with
+    ea on cols 0..127 for the lo half (zero elsewhere) and eb on cols
+    128..255 for the p half. Exact same math as the two-dot kernel but a
+    single MXU op — one selector weight-load per step instead of two."""
+    p = qs_ref[...]
+    lhs = jnp.concatenate([p & 0x0F, p], axis=1)          # [bn, K] int8
+    dims = (((1,), (0,)), ((), ()))
+    z2 = jax.lax.dot_general(lhs, e2_ref[...], dims,
+                             preferred_element_type=jnp.int32)
+    zl, zp = z2[:, :Kb], z2[:, Kb:]
+    sa, sb = sc_ref[2:3], sc_ref[3:4]
+    z = sa * zl.astype(jnp.float32) + sb * zp.astype(jnp.float32) + sc_ref[0:1]
+    es = s1_ref[...].astype(jnp.float32)
+    em = s2_ref[...].astype(jnp.float32)
+    o_ref[...] = jnp.sum(es * z - em * sc_ref[1:2], axis=1)[None, :]
+
+
+def k_onedot_sub(e2_ref, eb_ref, sc_ref, qs_ref, s1_ref, s2_ref, o_ref, *,
+                 nsub: int, bn: int):
+    """One-dot kernel with row-subtiled AND+concat+dot (overlap windows)."""
+    dims = (((1,), (0,)), ((), ()))
+    sub = bn // nsub
+    zs = []
+    for i in range(nsub):
+        p = qs_ref[i * sub:(i + 1) * sub, :]
+        lhs = jnp.concatenate([p & 0x0F, p], axis=1)
+        zs.append(jax.lax.dot_general(lhs, e2_ref[...], dims,
+                                      preferred_element_type=jnp.int32))
+    z2 = jnp.concatenate(zs, axis=0)
+    zl, zp = z2[:, :Kb], z2[:, Kb:]
+    sa, sb = sc_ref[2:3], sc_ref[3:4]
+    z = sa * zl.astype(jnp.float32) + sb * zp.astype(jnp.float32) + sc_ref[0:1]
+    es = s1_ref[...].astype(jnp.float32)
+    em = s2_ref[...].astype(jnp.float32)
+    o_ref[...] = jnp.sum(es * z - em * sc_ref[1:2], axis=1)[None, :]
+
+
 def k_cols256(ea_ref, eb_ref, sc_ref, qs_ref, s1_ref, s2_ref, o_ref):
     """Timing probe: selectors with 2x columns (dot cost doubles)."""
     p = qs_ref[...]
@@ -204,7 +242,7 @@ def k_subtile(ea_ref, eb_ref, sc_ref, qs_ref, s1_ref, s2_ref, o_ref, *,
 # --------------------------------------------------------------------------
 
 def run_variant(kernel, ql, xp, bn, *, sel_cols=Kb, vmem=None,
-                split_af=False):
+                split_af=False, onedot=False):
     N = ql.qs.shape[0]
     ea, eb, sc, (xl, xh) = prep(xp)
     if sel_cols != Kb:
@@ -214,6 +252,11 @@ def run_variant(kernel, ql, xp, bn, *, sel_cols=Kb, vmem=None,
         a = (xl - xh / 16.0)[None, :]                      # f32 [1, KH]
         first = a
         fspec = pl.BlockSpec((1, KH), lambda n: (0, 0))
+    elif onedot:
+        e2 = jnp.zeros((K, 2 * Kb), jnp.int8)
+        e2 = e2.at[:KH, :Kb].set(ea).at[KH:, Kb:].set(eb)
+        first = e2
+        fspec = pl.BlockSpec((K, 2 * Kb), lambda n: (0, 0))
     else:
         first = ea
         fspec = pl.BlockSpec((KH, sel_cols), lambda n: (0, 0))
@@ -331,6 +374,16 @@ PROBES = {
              dict(vmem=100 * 2**20)),
     "sub4": (functools.partial(k_subtile, nsub=4, bn=4096), 4096,
              dict(vmem=100 * 2**20)),
+    "sub4b": (functools.partial(k_subtile, nsub=4, bn=2048), 2048,
+              dict(vmem=100 * 2**20)),
+    "sub8": (functools.partial(k_subtile, nsub=8, bn=4096), 4096,
+             dict(vmem=100 * 2**20)),
+    "onedot": (k_onedot, 1024, dict(onedot=True)),
+    "onedot2048": (k_onedot, 2048, dict(onedot=True, vmem=100 * 2**20)),
+    "onedotsub4": (functools.partial(k_onedot_sub, nsub=4, bn=4096), 4096,
+                   dict(onedot=True, vmem=100 * 2**20)),
+    "onedotsub2": (functools.partial(k_onedot_sub, nsub=2, bn=2048), 2048,
+                   dict(onedot=True, vmem=100 * 2**20)),
 }
 
 
