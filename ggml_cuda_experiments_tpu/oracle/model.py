@@ -26,6 +26,8 @@ def _dense(w) -> np.ndarray:
         return q.dequantize_q4_0(w)
     if isinstance(w, q.Q4_K):
         return q.dequantize_q4_k(w)
+    if isinstance(w, q.Q6_K):
+        return q.dequantize_q6_k(w)
     try:                                    # device QuantLinear
         from ggml_cuda_experiments_tpu.ops.quant_matmul import (
             QuantLinear, dequantize_jnp)
