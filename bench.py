@@ -169,8 +169,42 @@ def decode_bench(model: str = "tinyllama-1.1b", fmt: str = "q4_k",
     return tok_s
 
 
+def vmem_report() -> None:
+    """Per-kernel VMEM-footprint estimates for the benched shapes — the
+    analog of the reference's shared-memory-KB print
+    (/root/reference/src/kernel_test.h:230-232)."""
+    for N_r, K_r in ((N_BIG, K), (4096, K), (11008, K), (4096, 12288)):
+        p = qm.chunk8_plan(N_r, K_r)
+        parts = ", ".join(f"{k} {v/2**20:.1f}M" for k, v in p["vmem_est"].items())
+        log(f"q4_k matvec N={N_r} K={K_r}: bn={p['bn']} grid={p['grid']} "
+            f"splits={p['splits']} vmem~{p['vmem_est_total']/2**20:.1f} MiB "
+            f"(limit {'default' if p['vmem_limit'] is None else p['vmem_limit']//2**20}M)"
+            f" [{parts}]")
+
+
+class _Tracer:
+    """`--trace`: wrap the measured region in jax.profiler.trace (xprof)."""
+
+    def __init__(self, enabled: bool, out="/root/repo/xprof_trace"):
+        self.enabled, self.out = enabled, out
+
+    def __enter__(self):
+        if self.enabled:
+            import jax.profiler
+            jax.profiler.start_trace(self.out)
+            log(f"tracing to {self.out}")
+        return self
+
+    def __exit__(self, *exc):
+        if self.enabled:
+            import jax.profiler
+            jax.profiler.stop_trace()
+            log(f"trace written to {self.out}")
+
+
 def main() -> None:
     log(device_summary())
+    trace = _Tracer("--trace" in sys.argv)
     if "--decode" in sys.argv:
         model = "tinyllama-1.1b"
         for a in sys.argv:
@@ -194,13 +228,15 @@ def main() -> None:
         }))
         return
 
-    q8 = roofline_pct("q8_0", block_n=512)
-    # the tunneled chip's sustained rate wanders between trials (tenancy /
-    # clock noise, some days >±20%); report the MEDIAN of 5 trials — the
-    # max can exceed 100% of roofline on a noisy day, which is not a
-    # credible sustained rate
-    pcts = sorted(roofline_pct("q4_k", use_vpu=True, x_quant8=True)
-                  for _ in range(5))
+    vmem_report()
+    with trace:
+        q8 = roofline_pct("q8_0", block_n=512)
+        # the tunneled chip's sustained rate wanders between trials
+        # (tenancy / clock noise, some days >±20%); report the MEDIAN of 5
+        # trials — the max can exceed 100% of roofline on a noisy day,
+        # which is not a credible sustained rate
+        pcts = sorted(roofline_pct("q4_k", use_vpu=True, x_quant8=True)
+                      for _ in range(5))
     pct = pcts[len(pcts) // 2]
     log(f"q4_k median: {pct:.1f}% of 5 trials {[round(p,1) for p in pcts]} "
         f"(q8_0: {q8:.1f}%)")

@@ -116,6 +116,70 @@ def prefill_chunked(params: llama.Params, cfg: ModelConfig,
     return logits[:, -1], cache
 
 
+@functools.partial(
+    jax.jit, static_argnames=("tcfg", "dcfg", "gamma", "windows"),
+    donate_argnames=("tcache", "dcache"))
+def speculative_scan(tparams, tcfg: ModelConfig, dparams, dcfg: ModelConfig,
+                     cur: jax.Array, tcache: llama.KVCache,
+                     dcache: llama.KVCache, *, gamma: int = 4,
+                     windows: int = 8):
+    """``windows`` greedy speculative windows fully ON DEVICE (lax.scan):
+    draft scan (gamma cheap steps) -> one target verify pass -> acceptance
+    count -> cache rewind, with no host round-trip anywhere. The host-loop
+    ``speculative_generate`` syncs per draft token, which on a remote
+    backend measures the tunnel, not the chips; this is both the
+    production form and the only honest way to benchmark it.
+
+    The draft cache is filled UNCONDITIONALLY with the last draft token
+    and then rewound by (gamma - n_acc) — uniform control flow replaces
+    the host version's accept-dependent branch at the cost of one cheap
+    draft step per window.
+
+    cur: [1] the current greedy token (already emitted). Returns
+    (tokens [windows, gamma+1] with row w valid through counts[w],
+    counts [windows] = n_acc+1, cur' [1], tcache, dcache). The
+    concatenated valid rows equal greedy decoding of the target exactly
+    (same property as speculative_generate; tested)."""
+    assert tcache.lengths.shape[0] == 1, "batch-1 latency feature"
+
+    def window_body(carry, _):
+        cur, tcache, dcache = carry
+
+        def dstep(c, _):
+            tok, dc = c
+            logits, dc = llama.decode_step(dparams, dcfg, tok, dc)
+            nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+            return (nxt, dc), nxt
+
+        (_, dcache), draft = jax.lax.scan(
+            dstep, (cur, dcache), None, length=gamma)      # draft [γ, 1]
+        draft = draft[:, 0]                                # [γ]
+
+        window = jnp.concatenate([cur, draft])[None, :]    # [1, γ+1]
+        vlogits, tcache = chunk_step(tparams, tcfg, window, tcache)
+        preds = jnp.argmax(vlogits[0], -1).astype(jnp.int32)   # [γ+1]
+
+        match = (preds[:gamma] == draft).astype(jnp.int32)
+        n_acc = jnp.sum(jnp.cumprod(match))                # leading accepts
+        idx = jnp.arange(gamma + 1)
+        drafted_pad = jnp.concatenate([draft, jnp.zeros(1, jnp.int32)])
+        bonus = preds[n_acc]
+        emitted = jnp.where(idx < n_acc, drafted_pad,
+                            jnp.where(idx == n_acc, bonus, -1))
+
+        # target wrote γ+1 positions; pointer belongs at +(n_acc+1)
+        tcache = rewind(tcache, gamma - n_acc)
+        # draft wrote γ (cur, d1..dγ-1); fill dγ unconditionally, rewind
+        _, dcache = llama.decode_step(
+            dparams, dcfg, draft[-1:], dcache)
+        dcache = rewind(dcache, gamma - n_acc)
+        return (bonus[None], tcache, dcache), (emitted, n_acc + 1)
+
+    (cur, tcache, dcache), (toks, counts) = jax.lax.scan(
+        window_body, (cur, tcache, dcache), None, length=windows)
+    return toks, counts, cur, tcache, dcache
+
+
 def speculative_generate(
     tparams: llama.Params, tcfg: ModelConfig,
     dparams: llama.Params, dcfg: ModelConfig,

@@ -950,6 +950,47 @@ def _quant_rows_blockwise(v, kb, n_segs=1):
     return q.reshape(-1), scale
 
 
+def chunk8_plan(N: int, K: int, block_n: int | None = None) -> dict:
+    """Tile plan + VMEM-footprint estimate for the chunk8 q4 matvec — the
+    analog of the reference's shared-memory-KB report
+    (/root/reference/src/kernel_test.h:230-232): the bench rig prints
+    these so tile/VMEM budgeting is visible, and the dispatch consumes
+    the same plan so the report cannot drift from reality."""
+    kb = K // QK
+    kh = K // 2
+    if block_n is None:
+        bn = min(4096, int(3.2e7) // K // 128 * 128)  # 2-slot payload cap
+        if N > bn:
+            steps = -(-N // bn)
+            bn = -(-N // steps // 128) * 128          # minimize padding
+        else:
+            bn = N if N % 128 == 0 else -(-N // 128) * 128
+        if bn == N and N >= 2048:
+            bn = -(-N // 2 // 128) * 128              # >= 2 steps
+    else:
+        bn = block_n
+    bn = min(bn, -(-N // 128) * 128)
+    Np = -(-N // bn) * bn
+    splits = _row_splits(bn)
+    # raise Mosaic's scoped-VMEM limit (default ~16 MB) when the working
+    # set needs it — v5e has 128 MB physical VMEM and the probes ran the
+    # 4096-row tiles at a 100 MB cap without issue
+    vmem_limit = 100 * 2**20 if bn * K > 6.3e6 else None
+    segs = _n_segs(K)
+    kb_sel = 128 if segs > 1 else kb
+    est = {
+        "payload (2 slots)": 2 * bn * kh,
+        "scales es/em (2 slots)": 2 * 2 * 2 * bn * kb,
+        "selectors ea/eb": 2 * kh * kb_sel,
+        "lo subtile": max(splits) * kh,
+        "int32 partials": 2 * 4 * bn * kb,
+        "activation consts": 4 * 4 * kb + 2 * bn * 4,
+    }
+    return dict(bn=bn, Np=Np, splits=splits, grid=Np // bn,
+                vmem_limit=vmem_limit, vmem_est=est,
+                vmem_est_total=sum(est.values()))
+
+
 def _qmatmul_chunk8(xp, ql, N, K, kb, block_n, out_dtype, interpret):
     """Dispatch for the integer-dot B=1 q4 matvec (see _chunk8_kernel).
 
@@ -978,24 +1019,9 @@ def _qmatmul_chunk8(xp, ql, N, K, kb, block_n, out_dtype, interpret):
     """
     fields = _FIELDS[ql.fmt]
     kh = K // 2
-    if block_n is None:
-        bn = min(4096, int(3.2e7) // K // 128 * 128)  # 2-slot payload cap
-        if N > bn:
-            steps = -(-N // bn)
-            bn = -(-N // steps // 128) * 128          # minimize padding
-        else:
-            bn = N if N % 128 == 0 else -(-N // 128) * 128
-        if bn == N and N >= 2048:
-            bn = -(-N // 2 // 128) * 128              # >= 2 steps
-    else:
-        bn = block_n
-    bn = min(bn, -(-N // 128) * 128)
-    Np = -(-N // bn) * bn
-    splits = _row_splits(bn)
-    # raise Mosaic's scoped-VMEM limit (default ~16 MB) when the working
-    # set needs it — v5e has 128 MB physical VMEM and the probes ran the
-    # 4096-row tiles at a 100 MB cap without issue
-    vmem_bytes = 100 * 2**20 if bn * K > 6.3e6 else None
+    plan = chunk8_plan(N, K, block_n)
+    bn, Np, splits = plan["bn"], plan["Np"], plan["splits"]
+    vmem_bytes = plan["vmem_limit"]
 
     def pad_rows(a):
         return (jnp.pad(a, ((0, Np - a.shape[0]), (0, 0)))

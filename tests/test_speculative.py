@@ -125,3 +125,44 @@ def test_speculative_bf16_smoke(tparams, rng):
     assert got.shape == (1, 10)
     assert np.all((got >= 0) & (got < CFG.vocab_size))
     assert stats["accepted"] >= 0.5 * stats["drafted"], stats
+
+
+@pytest.mark.parametrize("draft_kind,gamma", [
+    ("same", 3), ("different", 4), ("smaller", 2)])
+def test_speculative_scan_equals_greedy(tparams32, rng, draft_kind, gamma):
+    """The fully-on-device window scan (speculative_scan) emits exactly
+    the greedy target stream, like the host loop — zero host syncs."""
+    if draft_kind == "same":
+        dparams, dcfg = tparams32, CFG
+    elif draft_kind == "different":
+        dparams, dcfg = llama.init_weights(CFG, seed=99,
+                                           dtype=jnp.float32), CFG
+    else:
+        dcfg = dataclasses.replace(CFG, n_layers=1, name="draft")
+        dparams = llama.init_weights(dcfg, seed=7, dtype=jnp.float32)
+
+    prompt = jnp.asarray(rng.integers(0, CFG.vocab_size, (1, 8)), jnp.int32)
+    steps, windows = 18, 8
+    want = llama.generate(tparams32, CFG, prompt, steps=steps)[0].tolist()
+
+    max_len = 256
+    tcache = llama.KVCache.create(CFG, 1, max_len, jnp.float32)
+    dcache = llama.KVCache.create(dcfg, 1, max_len, jnp.float32)
+    tlogits, tcache = llama.prefill(tparams32, CFG, prompt, tcache)
+    _, dcache = llama.prefill(dparams, dcfg, prompt, dcache)
+    cur = jnp.argmax(tlogits, -1).astype(jnp.int32)
+
+    toks, counts, _, _, _ = spec.speculative_scan(
+        tparams32, CFG, dparams, dcfg, cur, tcache, dcache,
+        gamma=gamma, windows=windows)
+    toks, counts = np.asarray(toks), np.asarray(counts)
+    stream = [int(np.asarray(cur)[0])]
+    for w in range(windows):
+        stream.extend(toks[w, :counts[w]].tolist())
+    # a window emits 1..gamma+1 tokens, so the stream is a prefix of (or
+    # covers) the greedy target stream; compare the overlap exactly
+    n = min(len(stream), steps)
+    assert n >= windows + 1
+    assert stream[:n] == want[:n], (draft_kind, stream[:n], want[:n])
+    if draft_kind == "same":
+        assert counts.min() == gamma + 1      # identical draft: all accepted

@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--int8-kv", action="store_true")
     ap.add_argument("--native-sched", action="store_true")
     ap.add_argument("--window", type=int, default=1)
+    ap.add_argument("--trace", action="store_true",
+                    help="wrap the measured run in jax.profiler.trace "
+                         "(xprof artifact under /root/repo/xprof_trace)")
     args = ap.parse_args()
 
     from ggml_cuda_experiments_tpu.models.config import PRESETS
@@ -77,9 +80,15 @@ def main():
         return toks, dt
 
     run(args.batch)                          # compile prefill+decode
+    if args.trace:
+        import jax.profiler
+        jax.profiler.start_trace("/root/repo/xprof_trace")
     # marginal over request count removes compile/fixed costs
     t_small = run(args.batch)
     t_big = run(args.batch * 3)
+    if args.trace:
+        jax.profiler.stop_trace()
+        print("trace written to /root/repo/xprof_trace", flush=True)
     toks = t_big[0] - t_small[0]
     secs = t_big[1] - t_small[1]
     print(f"{args.model} {args.fmt} engine (batch {args.batch}, "
