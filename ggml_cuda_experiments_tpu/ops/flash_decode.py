@@ -50,6 +50,7 @@ def _decode_kernel(len_ref, q_ref, k_ref, v_ref,
                    o_ref, m_ref, s_ref,
                    m_scr, l_scr, acc_scr, *,
                    scale: float, bk: int, n_blocks: int,
+                   finalize: bool = False,
                    k_scale_ref=None, v_scale_ref=None):
     """Grid (B, Hkv, n_splits, n_blocks); KV streamed over the last dim.
 
@@ -127,7 +128,14 @@ def _decode_kernel(len_ref, q_ref, k_ref, v_ref,
 
     @pl.when(blk == n_blocks - 1)
     def _emit():
-        o_ref[0, 0, 0] = acc_scr[...]
+        if finalize:
+            # single split: normalize in-kernel (o/s), skipping the
+            # XLA-level merge + finalize chain entirely
+            l = l_scr[...][:, :1]
+            lsafe = jnp.where(l == 0.0, 1.0, l)
+            o_ref[0, 0, 0] = acc_scr[...] / lsafe
+        else:
+            o_ref[0, 0, 0] = acc_scr[...]
         m_ref[0, 0, 0] = m_scr[...]
         s_ref[0, 0, 0] = l_scr[...]
 
@@ -136,6 +144,7 @@ def _decode_kernel_ht(len_ref, q_ref, k_ref, v_ref,
                       o_ref, m_ref, s_ref,
                       m_scr, l_scr, acc_scr, *,
                       scale: float, bk: int, n_blocks: int, ht: int,
+                      finalize: bool = False,
                       k_scale_ref=None, v_scale_ref=None):
     """Head-tiled variant for G == 1 (MHA, no GQA grouping): each grid step
     processes ``ht`` KV heads at once.
@@ -192,7 +201,12 @@ def _decode_kernel_ht(len_ref, q_ref, k_ref, v_ref,
 
     @pl.when(blk == n_blocks - 1)
     def _emit():
-        o_ref[...] = acc_scr[...].reshape(o_ref.shape)
+        if finalize:
+            l = l_scr[...][:, :1]
+            lsafe = jnp.where(l == 0.0, 1.0, l)
+            o_ref[...] = (acc_scr[...] / lsafe).reshape(o_ref.shape)
+        else:
+            o_ref[...] = acc_scr[...].reshape(o_ref.shape)
         m_ref[...] = m_scr[...].reshape(m_ref.shape)
         s_ref[...] = l_scr[...].reshape(s_ref.shape)
 
@@ -284,6 +298,10 @@ def flash_decode(
     quantized = k_scale is not None
     assert (v_scale is not None) == quantized, \
         "k_scale and v_scale must be given together"
+    # single split + no cross-chip merge needed: the kernel normalizes
+    # in-place and the XLA merge/finalize chain is skipped (measurable
+    # per-layer glue at decode batch 1)
+    in_kernel_finalize = (n_splits == 1) and not return_partial
 
     kv_block = (1, 1, hb, bk, D) if layered else (1, hb, bk, D)
     in_specs = [
@@ -315,10 +333,12 @@ def flash_decode(
         if hb > 1:
             _decode_kernel_ht(len_ref, q_ref, k_ref, v_ref, *rest,
                               scale=scale, bk=bk, n_blocks=n_blocks, ht=hb,
+                              finalize=in_kernel_finalize,
                               k_scale_ref=ks_ref, v_scale_ref=vs_ref)
         else:
             _decode_kernel(len_ref, q_ref, k_ref, v_ref, *rest,
                            scale=scale, bk=bk, n_blocks=n_blocks,
+                           finalize=in_kernel_finalize,
                            k_scale_ref=ks_ref, v_scale_ref=vs_ref)
 
     part_index = lambda b, h, sp, blk, *refs: (b, h, sp, 0, 0)
@@ -357,6 +377,9 @@ def flash_decode(
         ),
         interpret=interpret_default(interpret),
     )(*prefetch, *args)
+
+    if in_kernel_finalize:
+        return o_part.reshape(B, Hq, D).astype(q.dtype)
 
     # Phase 2 — fa_reduce analog: fold split partials with the LSE combine.
     parts = AttnPartial(o=o_part, m=m_part[..., :1], s=s_part[..., :1])

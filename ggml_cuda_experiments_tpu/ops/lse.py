@@ -67,20 +67,24 @@ def lse_combine(a: AttnPartial, b: AttnPartial) -> AttnPartial:
 
 
 def lse_combine_stacked(parts: AttnPartial, axis: int = 0) -> AttnPartial:
-    """Fold a stacked array of partials along ``axis`` into one partial."""
-    moved = AttnPartial(*(jnp.moveaxis(f, axis, 0) for f in parts))
-    n = moved.o.shape[0]
+    """Fold a stacked array of partials along ``axis`` into one partial.
 
-    def body(i, acc):
-        step = AttnPartial(moved.o[i], moved.m[i], moved.s[i])
-        return lse_combine(acc, step)
-
-    init = AttnPartial(
-        jnp.zeros_like(moved.o[0]),
-        jnp.full_like(moved.m[0], -jnp.inf),
-        jnp.zeros_like(moved.s[0]),
-    )
-    return jax.lax.fori_loop(0, n, body, init)
+    Log-depth tree fold (the combine is associative): n splits cost
+    ceil(log2 n) vectorized combines instead of a serial n-step loop, so
+    large split counts (long-context split-KV) stay cheap."""
+    p = AttnPartial(*(jnp.moveaxis(f, axis, 0) for f in parts))
+    n = p.o.shape[0]
+    while n > 1:
+        half = n // 2
+        even = AttnPartial(*(f[0:2 * half:2] for f in p))
+        odd = AttnPartial(*(f[1:2 * half:2] for f in p))
+        comb = lse_combine(even, odd)
+        if n % 2:
+            comb = AttnPartial(*(jnp.concatenate([c, f[-1:]], axis=0)
+                                 for c, f in zip(comb, p)))
+        p = comb
+        n = p.o.shape[0]
+    return AttnPartial(p.o[0], p.m[0], p.s[0])
 
 
 def lse_combine_axis(p: AttnPartial, axis_name: str) -> AttnPartial:

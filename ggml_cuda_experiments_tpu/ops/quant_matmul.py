@@ -730,9 +730,10 @@ def qmatmul(
             # anyway)
             xp = xp.astype(jnp.bfloat16)
             # resident x (2*B*K) + the [2, bn, K] bf16 dequant scratch must
-            # fit VMEM even at bn=128, else Mosaic's compiler crashes
-            # (observed at B=512, K=12288); XLA's dequant+matmul takes over
-            if 2 * B * K + 4 * 128 * K > 12_500_000:
+            # fit the raised scoped-VMEM cap even at bn=128; XLA's
+            # dequant+matmul takes over beyond that (e.g. multi-thousand-
+            # token prefill chunks)
+            if 2 * B * K + 9 * 128 * K > 60_000_000:
                 return qmatmul_xla(x, ql, compute_dtype=jnp.bfloat16)
         return _qmatmul_pipelined(xp, ql, B, N, K, kb, block_n, out_dtype,
                                   interpret)
@@ -959,7 +960,14 @@ def chunk8_plan(N: int, K: int, block_n: int | None = None) -> dict:
     kb = K // QK
     kh = K // 2
     if block_n is None:
-        bn = min(4096, int(3.2e7) // K // 128 * 128)  # 2-slot payload cap
+        if _n_segs(K) > 1:
+            # segment-local K (e.g. 12288): 2*n_segs dots per subtile make
+            # big tiles lose — bn=512 measured best at (4096, 12288)
+            # (59.6 us/call vs 66.7 at 2048, 88.0 at 4096;
+            # tools/shape_probe.py)
+            bn = 512
+        else:
+            bn = min(4096, int(3.2e7) // K // 128 * 128)
         if N > bn:
             steps = -(-N // bn)
             bn = -(-N // steps // 128) * 128          # minimize padding
@@ -1133,16 +1141,17 @@ def _qmatmul_pipelined(xp, ql, B, N, K, kb, block_n, out_dtype, interpret):
     if Bp != B:
         xp = jnp.pad(xp, ((0, Bp - B), (0, 0)))
     if block_n is None:
-        # big-B (prefill) tiles stay small: x + the [2, bn, K] bf16
-        # scratch + the f32 dequant temporaries + double-buffered payload
-        # must fit scoped VMEM (bn=512 at B=64, K=4096 measured 18.88M —
-        # over the 16M limit)
-        block_n = 256 if (K > 8192 or B > 8) else 512
-        if B > 8:
-            budget = int((12_500_000 - 2 * B * K) // (4 * K))
-            block_n = max(128, min(block_n, budget // 128 * 128))
+        # big-B (prefill) tiles: x (2*B*K) + the [2, bn, K] bf16 scratch +
+        # f32 dequant temporaries (~4*bn*K) + double-buffered payload
+        # (~bn*K) must fit the RAISED scoped-VMEM cap (Mosaic defaults to
+        # ~16 MB; v5e has 128 MB — same fix as chunk8_plan). Bigger tiles
+        # amortize per-step cost and improve MXU shapes for TTFT.
+        budget = int((60_000_000 - 2 * B * K) // (9 * K))
+        block_n = max(128, min(1024, budget // 128 * 128))
     bn = min(block_n, N)
     Np = -(-N // bn) * bn
+    vmem_bytes = (100 * 2**20
+                  if (2 * B * K + 9 * bn * K) > 12_500_000 else None)
 
     def pad_rows(a):
         return (jnp.pad(a, ((0, Np - a.shape[0]), (0, 0)))
@@ -1159,6 +1168,9 @@ def _qmatmul_pipelined(xp, ql, B, N, K, kb, block_n, out_dtype, interpret):
         div = _lane_div(ql.fmt, f)
         in_specs.append(pl.BlockSpec((bn, K // div), wmap))
 
+    cp = dict(dimension_semantics=("arbitrary",))
+    if vmem_bytes is not None:
+        cp["vmem_limit_bytes"] = vmem_bytes
     out = pl.pallas_call(
         functools.partial(_pipe_kernel, fmt=ql.fmt, n_tiles=n_tiles,
                           n_segs=_n_segs(K)),
@@ -1168,8 +1180,7 @@ def _qmatmul_pipelined(xp, ql, B, N, K, kb, block_n, out_dtype, interpret):
         out_specs=pl.BlockSpec((Bp, bn),
                                lambda i: (0, jnp.maximum(i - 1, 0))),
         scratch_shapes=[pltpu.VMEM((2, bn, K), jnp.bfloat16)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+        compiler_params=pltpu.CompilerParams(**cp),
         cost_estimate=pl.CostEstimate(
             flops=2 * Bp * Np * K,
             bytes_accessed=sum(a.size * a.dtype.itemsize for a in arrays),
