@@ -309,9 +309,33 @@ def _mlp_block(layer: Params, cfg: ModelConfig, h: jax.Array,
             # are expert-sharded only, so nothing to reduce on ``model``.
             pass
         return out
-    gate, up = gate_up_proj(layer, x, xq8=cfg.x_quant8)
-    out = apply_linear(jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype)
-                       * up, layer["w_down"], xq8=cfg.x_quant8)
+    if "w_gu_f" in layer:
+        # fused-MLP layout: w_gu rows pre-permuted into w_down's
+        # interleaved activation order (quant_matmul.reorder_gu_rows)
+        from ggml_cuda_experiments_tpu.ops.quant_matmul import (
+            _inv_perm, mlp_fused, mlp_fused_supported, permute_activations)
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, x.shape[-1])
+        w_guf, w_down = layer["w_gu_f"], layer["w_down"]
+        if x2.shape[0] == 1 and mlp_fused_supported(w_guf, w_down):
+            # decode: one Pallas call for the whole MLP
+            xp = permute_activations(x2.astype(jnp.float32))
+            out = mlp_fused(xp, w_guf, w_down).astype(x.dtype)
+        else:
+            y = apply_linear(x2, w_guf, xq8=cfg.x_quant8)
+            kd = y.shape[-1] // 2
+            mid_p = (jax.nn.silu(y[..., :kd].astype(jnp.float32))
+                     .astype(x.dtype) * y[..., kd:])
+            # y is in w_down's interleaved activation order; the standard
+            # matmul path permutes internally, so map back to logical
+            mid = jnp.take(mid_p, jnp.asarray(_inv_perm(kd)), axis=-1)
+            out = apply_linear(mid, w_down, xq8=cfg.x_quant8)
+        out = out.reshape(*lead, -1)
+    else:
+        gate, up = gate_up_proj(layer, x, xq8=cfg.x_quant8)
+        out = apply_linear(
+            jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up,
+            layer["w_down"], xq8=cfg.x_quant8)
     if reduce_axis is not None:
         out = jax.lax.psum(out, reduce_axis)
     return out
@@ -500,8 +524,20 @@ def quantize_params(params: Params, fmt: str, *, quantize_head: bool = True,
             ql.pop("w_gate"), ql.pop("w_up")
             ql["wqkv"] = quantize(
                 np.concatenate([get("wq"), get("wk"), get("wv")]), fmt)
-            ql["w_gu"] = quantize(
-                np.concatenate([get("w_gate"), get("w_up")]), fmt)
+            dim = layer["w_down"].shape[0]
+            if (fmt == "q4_k" and inter_p % 4096 == 0
+                    and dim % 4096 == 0):
+                # fused-MLP kernel layout: gate/up rows pre-permuted into
+                # w_down's interleaved activation order, so the whole MLP
+                # runs as ONE Pallas call at decode (ops/quant_matmul.py::
+                # mlp_fused)
+                from ggml_cuda_experiments_tpu.ops.quant_matmul import (
+                    reorder_gu_rows)
+                ql["w_gu_f"] = quantize(
+                    reorder_gu_rows(get("w_gate"), get("w_up")), fmt)
+            else:
+                ql["w_gu"] = quantize(
+                    np.concatenate([get("w_gate"), get("w_up")]), fmt)
             ql["w_down"] = quantize(get("w_down"), fmt)
             ql["wo"] = quantize(get("wo"), fmt)
         else:

@@ -885,6 +885,19 @@ def _chunk8_kernel(ea_ref, eb_ref, sc_ref, qs_ref, s1_ref, s2_ref, o_ref, *,
     unpack/dot chain still pipelines. The round-1 bn=2048 regression was
     Mosaic's default ~16 MB scoped-VMEM limit: raised via
     compiler_params (see _qmatmul_chunk8)."""
+    es = s1_ref[...].astype(jnp.float32)
+    em = (8.0 * es if fmt == "q4_0"
+          else s2_ref[...].astype(jnp.float32))
+    o_ref[...] = _chunk8_compute(
+        ea_ref, eb_ref, sc_ref[...], qs_ref, es, em,
+        n_segs=n_segs, splits=splits)
+
+
+def _chunk8_compute(ea_ref, eb_ref, sc, qs_ref, es, em, *,
+                    n_segs: int, splits: tuple[int, ...] | None):
+    """The chunk8 compute body on one weight block (refs or arrays for
+    ea/eb/qs), shared by the standalone kernel and the fused-MLP kernel.
+    Returns y [1, bn]."""
     dims = (((1,), (0,)), ((), ()))
     splits = splits or (qs_ref.shape[0],)
 
@@ -916,13 +929,11 @@ def _chunk8_kernel(ea_ref, eb_ref, sc_ref, qs_ref, s1_ref, s2_ref, o_ref, *,
         r0 += rows
     zl = zls[0] if len(zls) == 1 else jnp.concatenate(zls, axis=0)
     zp = zps[0] if len(zps) == 1 else jnp.concatenate(zps, axis=0)
-    sa, sb = sc_ref[2:3], sc_ref[3:4]                 # [1, Kb] f32
+    sa, sb = sc[2:3], sc[3:4]                         # [1, Kb] f32
     z = (sa * zl.astype(jnp.float32) + sb * zp.astype(jnp.float32)
-         + sc_ref[0:1])
-    es = s1_ref[...].astype(jnp.float32)
-    em = 8.0 * es if fmt == "q4_0" else s2_ref[...].astype(jnp.float32)
-    y = es * z - em * sc_ref[1:2]                     # [bn, Kb]
-    o_ref[...] = jnp.sum(y, axis=1)[None, :]
+         + sc[0:1])
+    y = es * z - em * sc[1:2]                         # [bn, Kb]
+    return jnp.sum(y, axis=1)[None, :]
 
 
 def _block_sums(v, kb, n_segs):
@@ -1128,6 +1139,191 @@ def _qmatmul_chunk(xp, ql, N, K, kb, block_n, out_dtype, interpret):
         interpret=interpret_default(interpret),
     )(a, bvec, sc, arrays[0], s1, s2)
     return out[:, :N].astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# fused MLP kernel: w_gu matvec -> silu*mul -> w_down matvec, ONE launch
+# ---------------------------------------------------------------------------
+
+def _fused_mlp_kernel(ea4_ref, eb4_ref, sc4_ref, eye_ref,
+                      gqs_ref, ges_ref, gem_ref,
+                      dqs_ref, des_ref, dem_ref, o_ref,
+                      ygu, ead, ebd, scd, *,
+                      nA: int, bnA: int, Kd: int,
+                      splitsA, splitsD, segsD: int):
+    """Whole decode MLP in one Pallas call (B=1): per-call latency at
+    decode batch 1 measured ~20 us regardless of tile size
+    (tools/shape_probe.py), so fusing the two matvecs + the silu glue
+    saves a full launch round per layer.
+
+    Phases over one grid: steps [0, nA) run the chunk8 body on w_gu
+    tiles, accumulating y_gu into VMEM scratch; the LAST A step computes
+    mid = silu(gate)*up and builds w_down's activation operands in-kernel
+    (per-32-block int8 quant + diagonal selector tiles ead/ebd = eye *
+    aq, block-sum rows scd) — no activation permute is needed because
+    w_gu's ROWS are pre-ordered at quantize time so y_gu emerges already
+    in w_down's interleaved activation order (reorder_gu_rows); steps
+    [nA, nA+nB) run the chunk8 body on w_down tiles against the scratch
+    operands and write the output."""
+    i = pl.program_id(0)
+    khd = Kd // 2
+
+    @pl.when(i < nA)
+    def _gu():
+        es = ges_ref[...].astype(jnp.float32)
+        em = gem_ref[...].astype(jnp.float32)
+        y = _chunk8_compute(ea4_ref, eb4_ref, sc4_ref[...], gqs_ref,
+                            es, em, n_segs=1, splits=splitsA)
+        ygu[0:1, pl.ds(i * bnA, bnA)] = y
+
+    @pl.when(i == nA - 1)
+    def _boundary():
+        g = ygu[0:1, :Kd]
+        u = ygu[0:1, Kd:]
+        mid = (g * jax.nn.sigmoid(g)) * u             # silu(g)*u, [1, Kd]
+        xl = mid[:, :khd]
+        xh = mid[:, khd:]
+        a = xl - xh / 16.0
+        b = xh / 16.0
+        eye = eye_ref[...].astype(jnp.float32)        # [128, 128]
+        span = khd // segsD                           # byte-lanes/segment
+        nrow = span // 128
+        for s in range(segsD):
+            base = s * span
+            amax_a = jnp.zeros((1, 128), jnp.float32)
+            amax_b = jnp.zeros((1, 128), jnp.float32)
+            sum_xh = jnp.zeros((1, 128), jnp.float32)
+            sum_x = jnp.zeros((1, 128), jnp.float32)
+            for t in range(nrow):
+                sl = slice(base + t * 128, base + (t + 1) * 128)
+                amax_a = jnp.maximum(amax_a, jnp.abs(a[:, sl]))
+                amax_b = jnp.maximum(amax_b, jnp.abs(b[:, sl]))
+                sum_xh = sum_xh + xh[:, sl]
+                sum_x = sum_x + xl[:, sl] + xh[:, sl]
+            sa = jnp.where(amax_a == 0.0, 1.0, amax_a / 127.0)
+            sb = jnp.where(amax_b == 0.0, 1.0, amax_b / 127.0)
+            cs = slice(s * 128, (s + 1) * 128)
+            scd[0:1, cs] = 8.0 * sum_xh
+            scd[1:2, cs] = sum_x
+            scd[2:3, cs] = sa
+            scd[3:4, cs] = sb
+            for t in range(nrow):
+                sl = slice(base + t * 128, base + (t + 1) * 128)
+                aq = jnp.clip(jnp.round(a[:, sl] / sa), -127, 127)
+                bq = jnp.clip(jnp.round(b[:, sl] / sb), -127, 127)
+                ead[sl, :] = (eye * aq).astype(jnp.int8)
+                ebd[sl, :] = (eye * bq).astype(jnp.int8)
+
+    @pl.when(i >= nA)
+    def _down():
+        es = des_ref[...].astype(jnp.float32)
+        em = dem_ref[...].astype(jnp.float32)
+        o_ref[...] = _chunk8_compute(ead, ebd, scd[...], dqs_ref,
+                                     es, em, n_segs=segsD, splits=splitsD)
+
+
+def reorder_gu_rows(w_gate: np.ndarray, w_up: np.ndarray) -> np.ndarray:
+    """Stack gate/up for the fused-MLP layout: rows pre-permuted into
+    w_down's interleaved ACTIVATION order, so y = x @ W^T comes out as
+    [gate[perm(Kd)] ; up[perm(Kd)]] and the fused kernel needs no
+    in-kernel permute. The unfused path recovers logical order with
+    _inv_perm (see models/llama._mlp_block)."""
+    kd = w_gate.shape[0]
+    p = _perm(kd)
+    return np.concatenate([w_gate[p], w_up[p]])
+
+
+def mlp_fused_supported(w_guf: "QuantLinear", w_down: "QuantLinear") -> bool:
+    if w_guf is None or w_down is None:
+        return False
+    if not (isinstance(w_guf, QuantLinear) and isinstance(w_down, QuantLinear)):
+        return False
+    if w_guf.fmt != "q4_k" or w_down.fmt != "q4_k":
+        return False
+    Ng, Kg = w_guf.array_shape
+    Nd, Kd = w_down.array_shape
+    return (Ng == 2 * Kd and _n_segs(Kg) == 1 and (Kg // QK) % 128 == 0
+            and Kd % _SEG == 0)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
+def mlp_fused(xp4: jax.Array, w_guf: "QuantLinear", w_down: "QuantLinear",
+              *, out_dtype=jnp.float32, interpret: bool | None = None
+              ) -> jax.Array:
+    """y[1, Nd] = fused silu-MLP of xp4 [1, Kg] (ALREADY in Kg interleaved
+    order). w_guf must be built with reorder_gu_rows."""
+    Ng, Kg = w_guf.array_shape
+    Nd, Kd = w_down.array_shape
+    assert mlp_fused_supported(w_guf, w_down)
+    kbg, kbd = Kg // QK, Kd // QK
+    khg, khd = Kg // 2, Kd // 2
+    segsD = _n_segs(Kd)
+
+    planA = chunk8_plan(Ng, Kg)
+    bnA, splitsA = planA["bn"], planA["splits"]
+    assert Ng % bnA == 0, (Ng, bnA)
+    nA = Ng // bnA
+    planD = chunk8_plan(Nd, Kd)
+    bnD, splitsD = planD["bn"], planD["splits"]
+    NpD = planD["Np"]
+    nB = NpD // bnD
+
+    xl, xh = xp4[0, :khg], xp4[0, khg:]
+    aq, sa = _quant_rows_blockwise(xl - xh / 16.0, kbg, 1)
+    bq, sb = _quant_rows_blockwise(xh / 16.0, kbg, 1)
+    sel = jnp.asarray(_selector_np(khg, kbg).astype(np.int8))
+    ea4, eb4 = aq[:, None] * sel, bq[:, None] * sel
+    sc4 = jnp.stack([8.0 * _block_sums(xh, kbg, 1),
+                     _block_sums(xl + xh, kbg, 1), sa, sb])
+    eye = jnp.asarray(np.eye(128, dtype=np.int8))
+
+    def padN(a):
+        return (jnp.pad(a, ((0, NpD - a.shape[0]), (0, 0)))
+                if a.shape[0] != NpD else a)
+
+    arrays_g = [w_guf.qs, w_guf.es, w_guf.em]
+    arrays_d = [padN(w_down.qs), padN(w_down.es), padN(w_down.em)]
+
+    gmap = lambda i: (jnp.minimum(i, nA - 1), 0)
+    dmap = lambda i: (jnp.maximum(i - nA, 0), 0)
+    const = lambda i: (0, 0)
+    out = pl.pallas_call(
+        functools.partial(
+            _fused_mlp_kernel, nA=nA, bnA=bnA, Kd=Kd,
+            splitsA=splitsA, splitsD=splitsD, segsD=segsD),
+        out_shape=jax.ShapeDtypeStruct((1, NpD), jnp.float32),
+        grid=(nA + nB,),
+        in_specs=[
+            pl.BlockSpec((khg, kbg), const),
+            pl.BlockSpec((khg, kbg), const),
+            pl.BlockSpec((4, kbg), const),
+            pl.BlockSpec((128, 128), const),
+            pl.BlockSpec((bnA, khg), gmap),
+            pl.BlockSpec((bnA, kbg), gmap),
+            pl.BlockSpec((bnA, kbg), gmap),
+            pl.BlockSpec((bnD, khd), dmap),
+            pl.BlockSpec((bnD, kbd), dmap),
+            pl.BlockSpec((bnD, kbd), dmap),
+        ],
+        out_specs=pl.BlockSpec((1, bnD),
+                               lambda i: (0, jnp.maximum(i - nA, 0))),
+        scratch_shapes=[
+            pltpu.VMEM((1, Ng), jnp.float32),        # y_gu
+            pltpu.VMEM((khd, 128), jnp.int8),        # ea_down
+            pltpu.VMEM((khd, 128), jnp.int8),        # eb_down
+            pltpu.VMEM((4, kbd), jnp.float32),       # sc_down
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 2**20),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (Ng * Kg + Nd * Kd),
+            bytes_accessed=sum(a.size * a.dtype.itemsize
+                               for a in arrays_g + arrays_d),
+            transcendentals=Kd),
+        interpret=interpret_default(interpret),
+    )(ea4, eb4, sc4, eye, *arrays_g, *arrays_d)
+    return out[:, :Nd].astype(out_dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -134,3 +134,28 @@ def test_fp8_kv_cache_decode(params, rng):
     cache = llama.KVCache.create(CFG, 1, 256, quantized="fp8")
     out = llama.generate(params, CFG, toks[:1], steps=4, cache=cache)
     assert out.shape == (1, 4)
+
+
+def test_fused_mlp_layout_generate(rng):
+    """A model whose shapes qualify for the fused-MLP layout (dim and
+    intermediate multiples of 4096) must generate the same tokens through
+    the fused decode path (one Pallas call per MLP) as through the plain
+    per-projection quantization — covering both mlp_fused and the
+    prefill-time w_gu_f fallback (inverse-permute) path."""
+    import dataclasses
+    from ggml_cuda_experiments_tpu.models.config import PRESETS
+    cfg = dataclasses.replace(
+        PRESETS["debug"], dim=4096, intermediate=4096, n_layers=1,
+        n_heads=8, n_kv_heads=8, head_dim=64, vocab_size=256,
+        x_quant8=True)
+    params = llama.init_weights(cfg, seed=5, as_numpy=True)
+    qf = llama.quantize_params(params, "q4_k")           # fused layout
+    qs = llama.quantize_params(params, "q4_k", fuse=False)
+    assert "w_gu_f" in qf["layers"][0]
+    prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 8)), jnp.int32)
+    tf = llama.generate(qf, cfg, prompt, steps=4)[0].tolist()
+    ts = llama.generate(qs, cfg, prompt, steps=4)[0].tolist()
+    # same quantized weights, slightly different activation-quant points
+    # (fused quantizes mid in-kernel) — tokens should still agree
+    agree = sum(a == b for a, b in zip(tf, ts))
+    assert agree >= 3, (tf, ts)

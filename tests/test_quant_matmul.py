@@ -379,3 +379,32 @@ def test_segment_layout_all_paths(rng, k, path):
     scale = np.abs(want).max()
     err = np.abs(np.asarray(got) - want).max()
     assert err < tol * scale, f"{path} K={k}: err {err} vs scale {scale}"
+
+
+@pytest.mark.parametrize("kd", [4096, 8192])
+def test_mlp_fused_matches_unfused(rng, kd):
+    """Fused silu-MLP kernel (one Pallas call: w_gu matvec -> silu*mul ->
+    in-kernel activation quant/selector build -> w_down matvec) must match
+    the unfused two-call path with the same quantized weights."""
+    kg, nd = 4096, 256
+    wg = (rng.normal(size=(kd, kg)) / 64).astype(np.float32)
+    wu = (rng.normal(size=(kd, kg)) / 64).astype(np.float32)
+    wd = (rng.normal(size=(nd, kd)) / 64).astype(np.float32)
+    w_guf = qm.quantize(qm.reorder_gu_rows(wg, wu), "q4_k")
+    w_down = qm.quantize(wd, "q4_k")
+    assert qm.mlp_fused_supported(w_guf, w_down)
+
+    x = jnp.asarray((rng.normal(size=(1, kg))).astype(np.float32))
+    xp = qm.permute_activations(x)
+    got = np.asarray(qm.mlp_fused(xp, w_guf, w_down))
+
+    # unfused reference over the SAME quantized weights + the same
+    # per-block int8 activation quantization (x_quant8)
+    y = np.asarray(qm.qmatmul(x, w_guf, use_vpu=True, x_quant8=True))
+    mid_p = (y[:, :kd] / (1 + np.exp(-y[:, :kd]))) * y[:, kd:]
+    mid = mid_p[:, qm._inv_perm(kd)]
+    want = np.asarray(qm.qmatmul(jnp.asarray(mid), w_down,
+                                 use_vpu=True, x_quant8=True))
+    scale = max(np.abs(want).max(), 1e-6)
+    err = np.abs(got - want).max() / scale
+    assert err < 2e-2, f"rel err {err:.3e}"

@@ -47,7 +47,7 @@ def main():
     from ggml_cuda_experiments_tpu.utils import loader
 
     cfg = dataclasses.replace(PRESETS[args.model], x_quant8=True)
-    ckpt = f"/tmp/bench_ckpt_{args.model}_{args.fmt}_v3.gctc"
+    ckpt = f"/tmp/bench_ckpt_{args.model}_{args.fmt}_v4.gctc"
     t0 = time.perf_counter()
     if os.path.exists(ckpt):
         params = loader.load_params(ckpt)
