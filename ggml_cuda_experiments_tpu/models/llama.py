@@ -40,21 +40,29 @@ _QMATVEC_MAX_ROWS = 32
 _QPIPE_MAX_ROWS = 512
 
 
-def apply_linear(x: jax.Array, w, xq8: bool = False) -> jax.Array:
-    """y = x @ W^T for dense [N, K] or QuantLinear weights; x: [..., K]."""
+def apply_linear(x: jax.Array, w, xq8: bool = False,
+                 x_prepermuted: bool = False) -> jax.Array:
+    """y = x @ W^T for dense [N, K] or QuantLinear weights; x: [..., K].
+    ``x_prepermuted``: x is already in the quant layout's interleaved
+    column order (QuantLinear weights only)."""
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
     if isinstance(w, QuantLinear):
         if x2.shape[0] <= _QMATVEC_MAX_ROWS:
-            y = qmatmul(x2, w, x_quant8=xq8)
+            y = qmatmul(x2, w, x_quant8=xq8, x_prepermuted=x_prepermuted)
         elif x2.shape[0] <= _QPIPE_MAX_ROWS and w.fmt != "q6_k":
             # prefill-sized GEMM: software-pipelined dequant (VPU) + bf16
             # dot (MXU) — weights stream HBM once at 0.56 B/weight instead
             # of the XLA fallback's dequantize-to-HBM round trip
             # (~4.5 B/weight); 7B TTFT measurement drove this cutoff.
             # Falls back to qmatmul_xla internally for non-repeat-aligned K.
-            y = qmatmul(x2, w, pipelined=True)
+            y = qmatmul(x2, w, pipelined=True,
+                        x_prepermuted=x_prepermuted)
         else:
+            if x_prepermuted:
+                from ggml_cuda_experiments_tpu.ops.quant_matmul import _inv_perm
+                x2 = jnp.take(x2, jnp.asarray(_inv_perm(x2.shape[-1])),
+                              axis=-1)
             y = qmatmul_xla(x2, w)
     else:
         y = jax.lax.dot_general(
@@ -326,10 +334,9 @@ def _mlp_block(layer: Params, cfg: ModelConfig, h: jax.Array,
             kd = y.shape[-1] // 2
             mid_p = (jax.nn.silu(y[..., :kd].astype(jnp.float32))
                      .astype(x.dtype) * y[..., kd:])
-            # y is in w_down's interleaved activation order; the standard
-            # matmul path permutes internally, so map back to logical
-            mid = jnp.take(mid_p, jnp.asarray(_inv_perm(kd)), axis=-1)
-            out = apply_linear(mid, w_down, xq8=cfg.x_quant8)
+            # y is already in w_down's interleaved activation order
+            out = apply_linear(mid_p, w_down, xq8=cfg.x_quant8,
+                               x_prepermuted=True)
         out = out.reshape(*lead, -1)
     else:
         gate, up = gate_up_proj(layer, x, xq8=cfg.x_quant8)

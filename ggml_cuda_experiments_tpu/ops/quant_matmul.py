@@ -667,7 +667,7 @@ def _mxu_kernel(*refs, fmt: str, compute_dtype, n_segs: int = 1):
 @functools.partial(
     jax.jit,
     static_argnames=("block_n", "compute_dtype", "out_dtype", "use_vpu",
-                     "pipelined", "x_quant8", "interpret"),
+                     "pipelined", "x_quant8", "x_prepermuted", "interpret"),
 )
 def qmatmul(
     x: jax.Array,
@@ -679,6 +679,7 @@ def qmatmul(
     use_vpu: bool | None = None,
     pipelined: bool = False,
     x_quant8: bool = False,
+    x_prepermuted: bool = False,
     interpret: bool | None = None,
 ) -> jax.Array:
     """y[B, N] = x[B, K] @ dequant(W[N, K])^T, dequant fused in-kernel.
@@ -717,10 +718,16 @@ def qmatmul(
         use_vpu = False
     if not use_vpu and not _rep_aligned(kb):
         # no MXU variant for this K; XLA fallback keeps correctness
+        if x_prepermuted:
+            x = jnp.take(x, jnp.asarray(_inv_perm(K)), axis=-1)
         return qmatmul_xla(x, ql, compute_dtype=jnp.float32
                            if compute_dtype == jnp.float32 else jnp.bfloat16)
 
-    xp = permute_activations(x.astype(jnp.float32))
+    # ``x_prepermuted``: caller already supplies x in the interleaved
+    # column order (e.g. the fused-MLP intermediate, whose producer's row
+    # order was chosen to match) — skip the permute
+    xp = (x.astype(jnp.float32) if x_prepermuted
+          else permute_activations(x.astype(jnp.float32)))
     fields = _FIELDS[ql.fmt]
 
     if pipelined and _rep_aligned(kb):
@@ -734,6 +741,8 @@ def qmatmul(
             # dequant+matmul takes over beyond that (e.g. multi-thousand-
             # token prefill chunks)
             if 2 * B * K + 9 * 128 * K > 60_000_000:
+                if x_prepermuted:
+                    x = jnp.take(x, jnp.asarray(_inv_perm(K)), axis=-1)
                 return qmatmul_xla(x, ql, compute_dtype=jnp.bfloat16)
         return _qmatmul_pipelined(xp, ql, B, N, K, kb, block_n, out_dtype,
                                   interpret)

@@ -46,6 +46,14 @@ def main():
     from ggml_cuda_experiments_tpu.models.engine import Engine
     from ggml_cuda_experiments_tpu.utils import loader
 
+    if args.int8_kv and args.page_size % 128:
+        # Mosaic constraint on real TPU: the quantized pool's per-page
+        # scale DMA slices the lane dim by page_size, which must be
+        # 128-aligned (documented in ops/paged_attention.py)
+        print(f"page-size {args.page_size} invalid with quantized KV on "
+              f"TPU; rounding up to 128", flush=True)
+        args.page_size = 128
+
     cfg = dataclasses.replace(PRESETS[args.model], x_quant8=True)
     ckpt = f"/tmp/bench_ckpt_{args.model}_{args.fmt}_v4.gctc"
     t0 = time.perf_counter()
@@ -81,13 +89,13 @@ def main():
 
     run(args.batch)                          # compile prefill+decode
     if args.trace:
-        import jax.profiler
-        jax.profiler.start_trace("/root/repo/xprof_trace")
+        from jax import profiler as _profiler
+        _profiler.start_trace("/root/repo/xprof_trace")
     # marginal over request count removes compile/fixed costs
     t_small = run(args.batch)
     t_big = run(args.batch * 3)
     if args.trace:
-        jax.profiler.stop_trace()
+        _profiler.stop_trace()
         print("trace written to /root/repo/xprof_trace", flush=True)
     toks = t_big[0] - t_small[0]
     secs = t_big[1] - t_small[1]
