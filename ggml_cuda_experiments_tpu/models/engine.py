@@ -602,15 +602,20 @@ class Engine:
 
         if self._defer:
             # window size: the largest number of steps no running request
-            # can complete within (so the scheduler can't miss a finish);
-            # snapped to a power of two to bound recompilation variants
+            # can complete within (so the scheduler can't miss a finish).
+            # ONLY two sizes ever run — the full window or a single step —
+            # because every distinct W is a separate compile (~13 s on the
+            # tunneled backend; a power-of-2 shrink ladder measured as an
+            # end-of-generation compile cascade, 150 s for a 24-request
+            # batch). Tail steps run singly: under deferred fetch they
+            # pipeline without blocking, so the tail costs device time
+            # only.
             W = 1
             if self.decode_window > 1:
                 room = min(min(r.max_new_tokens - r.n_generated,
                                self.max_seq_len - len(r.prompt)
                                - r.n_generated) for r in self.running)
-                W = min(self.decode_window, max(1, room))
-                W = 1 << (W.bit_length() - 1)
+                W = self.decode_window if room >= self.decode_window else 1
             if W > 1:
                 self._step_no += W
                 key = jax.random.fold_in(self._key, self._step_no)
