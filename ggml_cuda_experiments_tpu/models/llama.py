@@ -234,6 +234,28 @@ def _attention_block(layer: Params, cfg: ModelConfig, h: jax.Array,
         lengths = cache.lengths
 
     x = rms_norm(h, layer["attn_norm"], cfg.rms_eps)
+
+    if (decode and not micro and reduce_axis is None and B == 1 and T == 1
+            and not quantized and cfg.x_quant8 and "wqkv" in layer):
+        from ggml_cuda_experiments_tpu.ops.fused_attention import (
+            attention_fused, attention_fused_supported)
+        if attention_fused_supported(layer["wqkv"], layer["wo"], Hq, Hkv, D,
+                                     cache.k.dtype):
+            # whole attention block (wqkv -> rope -> append -> split-KV
+            # decode -> wo) in ONE Pallas call; kernel splices the fresh
+            # token in-stream, we append it to the cache for later steps
+            o2, kn, vn = attention_fused(
+                x[:, 0, :], layer["wqkv"], layer["wo"], cache.k, cache.v,
+                lengths, li, n_heads=Hq, n_kv_heads=Hkv, head_dim=D,
+                rope_theta=cfg.rope_theta)
+            cache = KVCache(
+                k=_write_cache_layer(cache.k, li, kn[None, :, None, :],
+                                     pos0 := positions[:, 0]),
+                v=_write_cache_layer(cache.v, li, vn[None, :, None, :],
+                                     pos0),
+                lengths=cache.lengths, k_scale=None, v_scale=None)
+            return o2[:, None, :].astype(h.dtype), cache
+
     q, k, v = qkv_proj(layer, x, cfg)
     q = q.reshape(B, T, Hq, D)
     k = k.reshape(B, T, Hkv, D)
@@ -546,7 +568,16 @@ def quantize_params(params: Params, fmt: str, *, quantize_head: bool = True,
                 ql["w_gu"] = quantize(
                     np.concatenate([get("w_gate"), get("w_up")]), fmt)
             ql["w_down"] = quantize(get("w_down"), fmt)
-            ql["wo"] = quantize(get("wo"), fmt)
+            dim_o, ko = layer["wo"].shape
+            if (fmt == "q4_k" and (dim_o, ko) == (4096, 4096)
+                    and layer["wq"].shape[0] == layer["wk"].shape[0]):
+                # fused-attention layout: W_o columns in the "wof" order so
+                # the attention megakernel feeds it straight from the
+                # transposed per-head output (ops/fused_attention.py) —
+                # a lossless column shuffle of the same Q4_K blocks
+                ql["wo"] = quantize(get("wo"), fmt, layout="wof")
+            else:
+                ql["wo"] = quantize(get("wo"), fmt)
         else:
             for key in _LINEAR_KEYS:
                 ql[key] = quantize(get(key), fmt)

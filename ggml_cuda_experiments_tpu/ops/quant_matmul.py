@@ -138,6 +138,76 @@ def _inv_perm(k: int) -> np.ndarray:
     return np.argsort(_perm(k))
 
 
+# --- "wof" layout: attention-output-major interleave --------------------
+#
+# Purpose: let the fused attention kernel (ops/fused_attention.py) feed the
+# chunk8 matvec on W_o DIRECTLY from the attention output o[h, d] with no
+# in-kernel permute. Device lane j = t*kb + l (t in 0..31, l in 0..kb-1)
+# holds logical element e = (l % nH)*128 + (l // nH)*32 + t, nH = K/128 —
+# i.e. the [32, kb] activation tile xp satisfies
+#     xp[t, c*nH + h] = o[h, 32*c + t]
+# which is exactly a sublane-slice rearrangement of the TRANSPOSED
+# attention accumulator (oT[d, h]): xp[:, c*nH : (c+1)*nH] = oT[32c:32c+32].
+# The kernel-facing contract is identical to the global interleave (scale
+# block of lane j is a function of j mod kb, nibble halves (j, j+K/2) share
+# a block), so every existing q4 kernel works unchanged; only the
+# activation-permute and the scale COLUMN order (perm32) differ. Lossless:
+# a pure storage shuffle of the same GGML Q4_K blocks (no requantization).
+
+
+def _wof_nh(k: int) -> int:
+    assert k % 128 == 0 and _n_segs(k) == 1, \
+        f"wof layout needs K%128==0 and K<= {_SEG} (got {k})"
+    return k // 128
+
+
+@functools.cache
+def _perm_wof(k: int) -> np.ndarray:
+    nh = _wof_nh(k)
+    kb = k // QK
+    j = np.arange(k)
+    t, l = j // kb, j % kb
+    return (l % nh) * 128 + (l // nh) * QK + t
+
+
+@functools.cache
+def _perm32_wof(k: int) -> np.ndarray:
+    nh = _wof_nh(k)
+    l = np.arange(k // QK)
+    return 4 * (l % nh) + l // nh
+
+
+@functools.cache
+def _inv_perm_wof(k: int) -> np.ndarray:
+    return np.argsort(_perm_wof(k))
+
+
+def permute_activations_wof(x: jax.Array) -> jax.Array:
+    """Reorder x [..., K] into the wof lane order (transposes only):
+    out[t*kb + c*nH + h] = x[h*128 + 32c + t]."""
+    *lead, k = x.shape
+    nh = _wof_nh(k)
+    nl = len(lead)
+    return (x.reshape(*lead, nh, 4, QK)
+            .transpose(*range(nl), nl + 2, nl + 1, nl)
+            .reshape(*lead, k))
+
+
+def _layout_perms(k: int, layout: str):
+    if layout == "wof":
+        return _perm_wof(k), _perm32_wof(k)
+    return _perm(k), _perm32(k)
+
+
+def _permute_x(x: jax.Array, layout: str) -> jax.Array:
+    return (permute_activations_wof(x) if layout == "wof"
+            else permute_activations(x))
+
+
+def _inv_perm_layout(k: int, layout: str) -> np.ndarray:
+    return _inv_perm_wof(k) if layout == "wof" else _inv_perm(k)
+
+
 @functools.cache
 def _perm_q6(k: int) -> np.ndarray:
     """q6_k device lane order: 2-level (K/16, 16) -> (16, K/16) transpose,
@@ -221,6 +291,11 @@ class QuantLinear:
     es: jax.Array | None = None
     em: jax.Array | None = None
     qh: jax.Array | None = None
+    # column order: "std" (the interleave above) or "wof" (attention-
+    # output-major, see _perm_wof) — same kernel contract, different
+    # activation permute / logical meaning
+    layout: str = dataclasses.field(default="std",
+                                    metadata=dict(static=True))
 
     @property
     def array_shape(self) -> tuple[int, int]:
@@ -279,11 +354,14 @@ def q4_k_effective(t: quant_ref.Q4_K) -> tuple[np.ndarray, np.ndarray]:
     return es, em
 
 
-def from_oracle(t) -> QuantLinear:
+def from_oracle(t, layout: str = "std") -> QuantLinear:
     """Convert an oracle-quantized tensor (logical planar NumPy layout) to
-    interleaved device arrays."""
+    interleaved device arrays. ``layout``: "std" or "wof" (q4_k only)."""
     n, k = t.shape
-    p, p32 = _perm(k), _perm32(k)
+    if layout != "std":
+        assert layout == "wof" and isinstance(t, quant_ref.Q4_K), \
+            f"layout {layout!r} supports q4_k only"
+    p, p32 = _layout_perms(k, layout)
     if isinstance(t, quant_ref.Q8_0):
         return QuantLinear(
             fmt="q8_0", shape=(n, k),
@@ -301,7 +379,7 @@ def from_oracle(t) -> QuantLinear:
             t.qs.reshape(n, k // QK, QK // 2)).reshape(n, k)
         es, em = q4_k_effective(t)
         return QuantLinear(
-            fmt="q4_k", shape=(n, k),
+            fmt="q4_k", shape=(n, k), layout=layout,
             qs=jnp.asarray(_pack_halves(q[:, p])),
             es=jnp.asarray(es[:, p32]),
             em=jnp.asarray(em[:, p32]))
@@ -327,11 +405,11 @@ def from_oracle(t) -> QuantLinear:
     raise TypeError(f"unsupported oracle tensor {type(t)}")
 
 
-def quantize(w: np.ndarray, fmt: str) -> QuantLinear:
+def quantize(w: np.ndarray, fmt: str, layout: str = "std") -> QuantLinear:
     """Quantize a float [N, K] weight into device arrays (native C++ codec
     when built — bit-identical to the oracle — else the NumPy oracle)."""
     from ggml_cuda_experiments_tpu.utils import native
-    return from_oracle(native.quantize(np.asarray(w), fmt))
+    return from_oracle(native.quantize(np.asarray(w), fmt), layout)
 
 
 # ---------------------------------------------------------------------------
@@ -719,7 +797,8 @@ def qmatmul(
     if not use_vpu and not _rep_aligned(kb):
         # no MXU variant for this K; XLA fallback keeps correctness
         if x_prepermuted:
-            x = jnp.take(x, jnp.asarray(_inv_perm(K)), axis=-1)
+            x = jnp.take(x, jnp.asarray(_inv_perm_layout(K, ql.layout)),
+                         axis=-1)
         return qmatmul_xla(x, ql, compute_dtype=jnp.float32
                            if compute_dtype == jnp.float32 else jnp.bfloat16)
 
@@ -727,7 +806,7 @@ def qmatmul(
     # column order (e.g. the fused-MLP intermediate, whose producer's row
     # order was chosen to match) — skip the permute
     xp = (x.astype(jnp.float32) if x_prepermuted
-          else permute_activations(x.astype(jnp.float32)))
+          else _permute_x(x.astype(jnp.float32), ql.layout))
     fields = _FIELDS[ql.fmt]
 
     if pipelined and _rep_aligned(kb):
@@ -742,7 +821,9 @@ def qmatmul(
             # token prefill chunks)
             if 2 * B * K + 9 * 128 * K > 60_000_000:
                 if x_prepermuted:
-                    x = jnp.take(x, jnp.asarray(_inv_perm(K)), axis=-1)
+                    x = jnp.take(
+                        x, jnp.asarray(_inv_perm_layout(K, ql.layout)),
+                        axis=-1)
                 return qmatmul_xla(x, ql, compute_dtype=jnp.bfloat16)
         return _qmatmul_pipelined(xp, ql, B, N, K, kb, block_n, out_dtype,
                                   interpret)
@@ -1419,7 +1500,7 @@ def dequantize_jnp(ql: QuantLinear, dtype=jnp.float32) -> jax.Array:
     w_lo, w_hi = _dequant_halves(ql.fmt, {k: _A(v) for k, v in refs.items()},
                                  _xla_rep, _n_segs(ql.array_shape[1]))
     wp = w_lo if w_hi is None else jnp.concatenate([w_lo, w_hi], axis=1)
-    inv = jnp.asarray(_inv_perm(ql.array_shape[1]))
+    inv = jnp.asarray(_inv_perm_layout(ql.array_shape[1], ql.layout))
     return wp[:, inv].astype(dtype)
 
 

@@ -122,7 +122,9 @@ def _flatten(prefix: str, node, out: dict[str, np.ndarray]) -> None:
             _flatten(f"{prefix}.{i}", sub, out)
     elif isinstance(node, QuantLinear):
         n, k = node.shape
-        base = f"{prefix}#{node.fmt}#{n}x{k}"
+        fmt = (node.fmt if node.layout == "std"
+               else f"{node.fmt}+{node.layout}")
+        base = f"{prefix}#{fmt}#{n}x{k}"
         for f in _QFIELDS:
             a = getattr(node, f)
             if a is not None:
@@ -175,15 +177,17 @@ def load_params(path, mesh=None, lazy: bool = True) -> dict[str, Any]:
     for name, arr in flat.items():
         if "#" in name:
             prefix, fmt, shape_s, field = name.split("#")
-            q = quants.setdefault(prefix, {"fmt": fmt, "shape": tuple(
-                int(v) for v in shape_s.split("x"))})
+            fmt, _, layout = fmt.partition("+")
+            q = quants.setdefault(prefix, {
+                "fmt": fmt, "layout": layout or "std", "shape": tuple(
+                    int(v) for v in shape_s.split("x"))})
             q[field] = arr
         else:
             _set_path(tree, name, jax.numpy.asarray(arr))
     import jax.numpy as jnp
     for prefix, q in quants.items():
         ql = QuantLinear(
-            fmt=q["fmt"], shape=q["shape"],
+            fmt=q["fmt"], shape=q["shape"], layout=q.get("layout", "std"),
             qs=jnp.asarray(q["qs"]),
             d=jnp.asarray(q["d"]) if "d" in q else None,
             es=jnp.asarray(q["es"]) if "es" in q else None,
