@@ -1235,10 +1235,10 @@ def _qmatmul_chunk(xp, ql, N, K, kb, block_n, out_dtype, interpret):
 # fused MLP kernel: w_gu matvec -> silu*mul -> w_down matvec, ONE launch
 # ---------------------------------------------------------------------------
 
-def _fused_mlp_kernel(ea4_ref, eb4_ref, sc4_ref, eye_ref,
+def _fused_mlp_kernel(ab4_ref, sc4_ref, eye_ref,
                       gqs_ref, ges_ref, gem_ref,
                       dqs_ref, des_ref, dem_ref, o_ref,
-                      ygu, ead, ebd, scd, *,
+                      ygu, ea4, eb4, ead, ebd, scd, *,
                       nA: int, bnA: int, Kd: int,
                       splitsA, splitsD, segsD: int):
     """Whole decode MLP in one Pallas call (B=1): per-call latency at
@@ -1258,11 +1258,25 @@ def _fused_mlp_kernel(ea4_ref, eb4_ref, sc4_ref, eye_ref,
     i = pl.program_id(0)
     khd = Kd // 2
 
+    @pl.when(i == 0)
+    def _build_gu_selectors():
+        # in-kernel eye-outer-product selector build (one [32, 128] int8
+        # operand instead of two [2048, 128] windows: per-grid-step window
+        # bookkeeping and the prologue fetch both scale with window count)
+        eye = eye_ref[...].astype(jnp.float32)
+        nt = ea4.shape[0] // 128
+        for t in range(nt):
+            sl = slice(128 * t, 128 * (t + 1))
+            ea4[sl, :] = (eye * ab4_ref[t:t + 1, :].astype(jnp.float32)
+                          ).astype(jnp.int8)
+            eb4[sl, :] = (eye * ab4_ref[nt + t:nt + t + 1, :]
+                          .astype(jnp.float32)).astype(jnp.int8)
+
     @pl.when(i < nA)
     def _gu():
         es = ges_ref[...].astype(jnp.float32)
         em = gem_ref[...].astype(jnp.float32)
-        y = _chunk8_compute(ea4_ref, eb4_ref, sc4_ref[...], gqs_ref,
+        y = _chunk8_compute(ea4, eb4, sc4_ref[...], gqs_ref,
                             es, em, n_segs=1, splits=splitsA)
         ygu[0:1, pl.ds(i * bnA, bnA)] = y
 
@@ -1361,8 +1375,8 @@ def mlp_fused(xp4: jax.Array, w_guf: "QuantLinear", w_down: "QuantLinear",
     xl, xh = xp4[0, :khg], xp4[0, khg:]
     aq, sa = _quant_rows_blockwise(xl - xh / 16.0, kbg, 1)
     bq, sb = _quant_rows_blockwise(xh / 16.0, kbg, 1)
-    sel = jnp.asarray(_selector_np(khg, kbg).astype(np.int8))
-    ea4, eb4 = aq[:, None] * sel, bq[:, None] * sel
+    ab4 = jnp.concatenate([aq.reshape(khg // 128, 128),
+                           bq.reshape(khg // 128, 128)])
     sc4 = jnp.stack([8.0 * _block_sums(xh, kbg, 1),
                      _block_sums(xl + xh, kbg, 1), sa, sb])
     eye = jnp.asarray(np.eye(128, dtype=np.int8))
@@ -1384,8 +1398,7 @@ def mlp_fused(xp4: jax.Array, w_guf: "QuantLinear", w_down: "QuantLinear",
         out_shape=jax.ShapeDtypeStruct((1, NpD), jnp.float32),
         grid=(nA + nB,),
         in_specs=[
-            pl.BlockSpec((khg, kbg), const),
-            pl.BlockSpec((khg, kbg), const),
+            pl.BlockSpec((khg // 64, 128), const),   # ab4 (a rows | b rows)
             pl.BlockSpec((4, kbg), const),
             pl.BlockSpec((128, 128), const),
             pl.BlockSpec((bnA, khg), gmap),
@@ -1399,6 +1412,8 @@ def mlp_fused(xp4: jax.Array, w_guf: "QuantLinear", w_down: "QuantLinear",
                                lambda i: (0, jnp.maximum(i - nA, 0))),
         scratch_shapes=[
             pltpu.VMEM((1, Ng), jnp.float32),        # y_gu
+            pltpu.VMEM((khg, 128), jnp.int8),        # ea_gu
+            pltpu.VMEM((khg, 128), jnp.int8),        # eb_gu
             pltpu.VMEM((khd, 128), jnp.int8),        # ea_down
             pltpu.VMEM((khd, 128), jnp.int8),        # eb_down
             pltpu.VMEM((4, kbd), jnp.float32),       # sc_down
@@ -1412,7 +1427,7 @@ def mlp_fused(xp4: jax.Array, w_guf: "QuantLinear", w_down: "QuantLinear",
                                for a in arrays_g + arrays_d),
             transcendentals=Kd),
         interpret=interpret_default(interpret),
-    )(ea4, eb4, sc4, eye, *arrays_g, *arrays_d)
+    )(ab4, sc4, eye, *arrays_g, *arrays_d)
     return out[:, :Nd].astype(out_dtype)
 
 
