@@ -157,8 +157,6 @@ def probe_call_overhead():
     x = jnp.ones((8, 128), jnp.float32)
     fa, fb = chained(64), chained(256)
     np.asarray(fa(x)); np.asarray(fb(x))
-    ta = min(time.perf_counter() - t0 for t0 in [time.perf_counter()]
-             if np.asarray(fa(x)) is not None)
     times = {}
     for name, f in (("a", fa), ("b", fb)):
         ts = []
