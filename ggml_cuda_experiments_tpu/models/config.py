@@ -29,6 +29,11 @@ class ModelConfig:
     # MXU integer-dot kernel (llama.cpp Q4_K x Q8_K semantics, ~0.5% per-op
     # rel err, ~1.25x faster than the exact f32 chunk kernel)
     x_quant8: bool = False
+    # megakernel gates (both need the matching quantize_params layouts;
+    # static jit args, so flipping one retraces — used by the decode
+    # ladder ablations in tools/decode_ladder.py)
+    fuse_attn: bool = True
+    fuse_mlp: bool = True
     # mixture-of-experts (0 = dense MLP); see models/moe.py
     n_experts: int = 0
     n_active_experts: int = 2

@@ -235,7 +235,8 @@ def _attention_block(layer: Params, cfg: ModelConfig, h: jax.Array,
 
     x = rms_norm(h, layer["attn_norm"], cfg.rms_eps)
 
-    if (decode and not micro and reduce_axis is None and B == 1 and T == 1
+    if (decode and cfg.fuse_attn and not micro and reduce_axis is None
+            and B == 1 and T == 1
             and not quantized and cfg.x_quant8 and "wqkv" in layer):
         from ggml_cuda_experiments_tpu.ops.fused_attention import (
             attention_fused, attention_fused_supported)
@@ -347,7 +348,8 @@ def _mlp_block(layer: Params, cfg: ModelConfig, h: jax.Array,
         lead = x.shape[:-1]
         x2 = x.reshape(-1, x.shape[-1])
         w_guf, w_down = layer["w_gu_f"], layer["w_down"]
-        if x2.shape[0] == 1 and mlp_fused_supported(w_guf, w_down):
+        if (x2.shape[0] == 1 and cfg.fuse_mlp
+                and mlp_fused_supported(w_guf, w_down)):
             # decode: one Pallas call for the whole MLP
             xp = permute_activations(x2.astype(jnp.float32))
             out = mlp_fused(xp, w_guf, w_down).astype(x.dtype)
@@ -514,12 +516,17 @@ _LINEAR_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 
 def quantize_params(params: Params, fmt: str, *, quantize_head: bool = True,
                     pad_intermediate: bool = True, fuse: bool = True,
-                    head_fmt: str | None = None) -> Params:
+                    head_fmt: str | None = None,
+                    head_dim: int = 128) -> Params:
     """Quantize every big linear to ``fmt`` (embed/norms stay dense).
 
     ``head_fmt``: optional different format for the lm_head (llama.cpp's
     Q4_K_M mix stores output.weight as Q6_K: fmt="q4_k",
     head_fmt="q6_k").
+
+    ``head_dim``: attention head size — part of the shared wof gate
+    (ops/fused_attention.wof_shape_supported), so the wof W_o layout is
+    only produced for shapes the fused-attention kernel accepts.
 
     ``pad_intermediate``: zero-pad the MLP intermediate dimension up to a
     multiple of 4096 when that costs < 15% extra bytes (e.g. 7B's
@@ -568,9 +575,13 @@ def quantize_params(params: Params, fmt: str, *, quantize_head: bool = True,
                 ql["w_gu"] = quantize(
                     np.concatenate([get("w_gate"), get("w_up")]), fmt)
             ql["w_down"] = quantize(get("w_down"), fmt)
+            from ggml_cuda_experiments_tpu.ops.fused_attention import (
+                wof_shape_supported)
             dim_o, ko = layer["wo"].shape
-            if (fmt == "q4_k" and (dim_o, ko) == (4096, 4096)
-                    and layer["wq"].shape[0] == layer["wk"].shape[0]):
+            nq = layer["wq"].shape[0] // head_dim
+            nk = layer["wk"].shape[0] // head_dim
+            if fmt == "q4_k" and wof_shape_supported(dim_o, ko, nq, nk,
+                                                     head_dim):
                 # fused-attention layout: W_o columns in the "wof" order so
                 # the attention megakernel feeds it straight from the
                 # transposed per-head output (ops/fused_attention.py) —

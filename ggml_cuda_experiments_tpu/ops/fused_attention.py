@@ -32,10 +32,13 @@ Measured design rules (tools/probe_mosaic_r3.py + marginal probes):
   chosen so the transposed attention output feeds the int8 selector
   matvec by pure sublane slicing — no in-kernel lane permute exists.
 
-Supported shapes (``attention_fused_supported``): B == 1, MHA (Hq == Hkv,
-% 8 == 0), head_dim 128, dim == 4096 (wof + kb == 128 selector width),
-q4_k weights, bf16/f32 contiguous cache (the quantized paged pool keeps
-the standalone kernels).
+Supported shapes (``attention_fused_supported``): B == 1, head_dim 128,
+dim == 4096 (wof + kb == 128 selector width), GQA ratio r = Hq/Hkv in
+{1, 2, 4, 8} (each 8-q-row iteration spans 8/r KV heads; scores are
+per-KV-head sub-products, so no KV bytes are replicated — covers MHA 7B
+32/32 and llama3-8b 32/8), q4_k weights ("e" or "s6" scale encodings),
+bf16/f32 contiguous cache (the quantized paged pool keeps the standalone
+kernels).
 """
 
 from __future__ import annotations
@@ -49,8 +52,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ggml_cuda_experiments_tpu.ops.quant_matmul import (
-    QuantLinear, _block_sums, _chunk8_compute, _quant_rows_blockwise,
-    chunk8_plan, permute_activations,
+    QuantLinear, _block_sums, _chunk8_compute, _dd_expand_np,
+    _decode_es_em_s6, _quant_rows_blockwise, chunk8_plan,
+    permute_activations, QK_K,
 )
 from ggml_cuda_experiments_tpu.utils.platform import interpret_default
 
@@ -70,19 +74,33 @@ def _build_selectors(eas, ebs, ab, eye_f32, kh: int):
 
 
 def _fused_attn_kernel(
-    len_ref, lyr_ref,                         # scalar prefetch
-    ab_ref, sc2_ref, eye_ref,
-    qqs_ref, qes_ref, qem_ref,
-    k_any, v_any, wqs_any, wes_any, wem_any,
-    o_ref, kn_ref, vn_ref,
-    yqkv, qt, eas, ebs, scs, m_scr, l_scr, acc_scr, ofin,
-    kbuf, vbuf, woq, woes, woem, kv_sem, wo_sem,
-    *, nQ: int, bnQ: int, n_blocks: int, n_groups: int,
+    *refs,
+    nQ: int, bnQ: int, n_blocks: int, n_groups: int,
     ht: int, bk: int, nH: int, nKV: int,
     splitsQ, splitsW, cache_dtype,
+    s6q: bool = False, s6w: bool = False,
 ):
+    it = iter(refs)
+    len_ref, lyr_ref = next(it), next(it)     # scalar prefetch
+    ab_ref, sc2_ref, eye_ref = next(it), next(it), next(it)
+    eddq_ref = next(it) if s6q else None
+    eddw_ref = next(it) if s6w else None
+    qqs_ref, qes_ref, qem_ref = next(it), next(it), next(it)
+    qdd_ref = next(it) if s6q else None
+    k_any, v_any = next(it), next(it)
+    wqs_any, wes_any, wem_any = next(it), next(it), next(it)
+    wdd_any = next(it) if s6w else None
+    o_ref, kn_ref, vn_ref = next(it), next(it), next(it)
+    yqkv, qt, eas, ebs, scs = (next(it) for _ in range(5))
+    m_scr, l_scr, acc_scr, ofin = (next(it) for _ in range(4))
+    kbuf, vbuf, woq, woes, woem = (next(it) for _ in range(5))
+    wodd = next(it) if s6w else None
+    kv_sem, wo_sem = it
+
     i = pl.program_id(0)
     D = 128
+    r = nH // nKV                             # GQA broadcast ratio
+    kh_pg = ht // r                           # KV heads per 8-q-row group
     length = len_ref[0]                       # valid length INCLUDING new tok
     lyr = lyr_ref[0]
     nvalid = jnp.minimum((length + bk - 1) // bk, n_blocks)
@@ -90,17 +108,21 @@ def _fused_attn_kernel(
     def kv_copies(t, slot):
         g = t // nvalid
         blk = t - g * nvalid
-        row0 = g * ht
+        row0 = g * kh_pg
         base = blk * bk
-        src_k = k_any.at[lyr, 0, pl.ds(row0, ht), pl.ds(base, bk)]
-        src_v = v_any.at[lyr, 0, pl.ds(row0, ht), pl.ds(base, bk)]
+        src_k = k_any.at[lyr, 0, pl.ds(row0, kh_pg), pl.ds(base, bk)]
+        src_v = v_any.at[lyr, 0, pl.ds(row0, kh_pg), pl.ds(base, bk)]
         return (pltpu.make_async_copy(src_k, kbuf.at[slot], kv_sem.at[0, slot]),
                 pltpu.make_async_copy(src_v, vbuf.at[slot], kv_sem.at[1, slot]))
 
     def wo_copies():
-        return (pltpu.make_async_copy(wqs_any, woq, wo_sem.at[0]),
-                pltpu.make_async_copy(wes_any, woes, wo_sem.at[1]),
-                pltpu.make_async_copy(wem_any, woem, wo_sem.at[2]))
+        copies = [pltpu.make_async_copy(wqs_any, woq, wo_sem.at[0]),
+                  pltpu.make_async_copy(wes_any, woes, wo_sem.at[1]),
+                  pltpu.make_async_copy(wem_any, woem, wo_sem.at[2])]
+        if s6w:
+            copies.append(pltpu.make_async_copy(wdd_any, wodd,
+                                                wo_sem.at[3]))
+        return copies
 
     @pl.when(i == 0)
     def _prologue():
@@ -113,8 +135,11 @@ def _fused_attn_kernel(
 
     @pl.when(i < nQ)
     def _qkv_phase():
-        es = qes_ref[...].astype(jnp.float32)
-        em = qem_ref[...].astype(jnp.float32)
+        if s6q:
+            es, em = _decode_es_em_s6(qes_ref, qem_ref, qdd_ref, eddq_ref)
+        else:
+            es = qes_ref[...].astype(jnp.float32)
+            em = qem_ref[...].astype(jnp.float32)
         y = _chunk8_compute(eas, ebs, sc2_ref[0:4, :], qqs_ref, es, em,
                             n_segs=1, splits=splitsQ)
         yqkv[0:1, pl.ds(i * bnQ, bnQ)] = y
@@ -130,7 +155,7 @@ def _fused_attn_kernel(
         k0 = nH * D
         for h in range(nKV):
             ofin[h:h + 1, :] = yqkv[0:1, k0 + D * h:k0 + D * (h + 1)]
-        kraw = ofin[...]
+        kraw = ofin[0:nKV, :]                 # ofin is [nH, 128] scratch
         kn_ref[...] = (kraw * C + pltpu.roll(kraw, 64, 1) * S2
                        ).astype(cache_dtype)
         v0 = (nH + nKV) * D
@@ -148,7 +173,8 @@ def _fused_attn_kernel(
             g = t // nvalid
             blk = t - g * nvalid
             base = blk * bk
-            row0 = g * ht
+            row0q = g * ht                                 # q/m/l/ofin rows
+            row0k = g * kh_pg                              # kv-head rows
 
             @pl.when(t + 1 < total)
             def _prefetch():
@@ -160,41 +186,58 @@ def _fused_attn_kernel(
 
             @pl.when(blk == 0)
             def _init():
-                m_scr[pl.ds(row0, ht), :] = jnp.full((ht, 128), -jnp.inf,
-                                                     jnp.float32)
-                l_scr[pl.ds(row0, ht), :] = jnp.zeros((ht, 128), jnp.float32)
+                m_scr[pl.ds(row0q, ht), :] = jnp.full((ht, 128), -jnp.inf,
+                                                      jnp.float32)
+                l_scr[pl.ds(row0q, ht), :] = jnp.zeros((ht, 128), jnp.float32)
                 acc_scr[...] = jnp.zeros_like(acc_scr)
 
-            q = qt[pl.ds(row0, ht), :]                     # [ht, D] scaled
-            k = kbuf[slot]                                 # [ht, bk, D]
+            q = qt[pl.ds(row0q, ht), :]                    # [ht, D] scaled
+            k = kbuf[slot]                                 # [kh_pg, bk, D]
             on_new = (base + jax.lax.broadcasted_iota(
                 jnp.int32, (1, bk, 1), 1)) == newpos
-            kn = kn_ref[pl.ds(row0, ht), :]
+            kn = kn_ref[pl.ds(row0k, kh_pg), :]
             kf = jnp.where(on_new, kn[:, None, :], k).astype(jnp.float32)
-            s = jnp.sum(q[:, None, :] * kf, axis=-1)       # [ht, bk]
+            # GQA: q rows [sub*r, (sub+1)*r) share kv-head row ``sub`` —
+            # per-sub VPU products instead of replicating KV bytes r times
+            # (the reference replicates the QUERY instead, burning 15/16
+            # of each MMA, /root/reference/src/flash_row_float.h:21-38).
+            # MHA keeps the single full-width product.
+            if r == 1:
+                s = jnp.sum(q[:, None, :] * kf, axis=-1)   # [ht, bk]
+            else:
+                s = jnp.concatenate(
+                    [jnp.sum(q[sub * r:(sub + 1) * r, None, :]
+                             * kf[sub][None, :, :], axis=-1)
+                     for sub in range(kh_pg)], axis=0)     # [ht, bk]
             kpos = base + jax.lax.broadcasted_iota(jnp.int32, (ht, bk), 1)
             s = jnp.where(kpos < length, s, DEFAULT_MASK_VALUE)
 
-            m_prev = m_scr[pl.ds(row0, ht), :]
-            l_prev = l_scr[pl.ds(row0, ht), :]
+            m_prev = m_scr[pl.ds(row0q, ht), :]
+            l_prev = l_scr[pl.ds(row0q, ht), :]
             m_curr = jnp.max(s, axis=1, keepdims=True)
             m_next = jnp.maximum(m_prev, m_curr)
             alpha = jnp.exp(m_prev - m_next)
             p = jnp.exp(s - m_next[:, :1])
             l_next = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
-            m_scr[pl.ds(row0, ht), :] = m_next
-            l_scr[pl.ds(row0, ht), :] = l_next
+            m_scr[pl.ds(row0q, ht), :] = m_next
+            l_scr[pl.ds(row0q, ht), :] = l_next
             acc_scr[...] *= alpha[:, :1]
             v = vbuf[slot]
-            vn = vn_ref[pl.ds(row0, ht), :]
+            vn = vn_ref[pl.ds(row0k, kh_pg), :]
             vf = jnp.where(on_new, vn[:, None, :], v).astype(jnp.float32)
-            acc_scr[...] += jnp.sum(p[:, :, None] * vf, axis=1)
+            if r == 1:
+                acc_scr[...] += jnp.sum(p[:, :, None] * vf, axis=1)
+            else:
+                acc_scr[...] += jnp.concatenate(
+                    [jnp.sum(p[sub * r:(sub + 1) * r][:, :, None]
+                             * vf[sub][None, :, :], axis=1)
+                     for sub in range(kh_pg)], axis=0)
 
             @pl.when(blk == nvalid - 1)
             def _finalize():
                 l = l_next[:, :1]
                 lsafe = jnp.where(l == 0.0, 1.0, l)
-                ofin[pl.ds(row0, ht), :] = acc_scr[...] / lsafe
+                ofin[pl.ds(row0q, ht), :] = acc_scr[...] / lsafe
 
             return 0
 
@@ -228,10 +271,31 @@ def _fused_attn_kernel(
     def _wo_phase():
         for c in wo_copies():
             c.wait()
-        es = woes[...].astype(jnp.float32)
-        em = woem[...].astype(jnp.float32)
+        if s6w:
+            es, em = _decode_es_em_s6(woes, woem, wodd, eddw_ref)
+        else:
+            es = woes[...].astype(jnp.float32)
+            em = woem[...].astype(jnp.float32)
         o_ref[...] = _chunk8_compute(eas, ebs, scs[...], woq, es, em,
                                      n_segs=1, splits=splitsW)
+
+
+def wof_shape_supported(dim_o: int, ko: int, n_heads: int,
+                        n_kv_heads: int, head_dim: int) -> bool:
+    """Shape half of the fused-attention gate — the SINGLE predicate both
+    the producer (llama.quantize_params deciding to emit a wof-layout W_o)
+    and the consumer (attention_fused_supported) use, so a weight can
+    never be quantized into a layout the kernel then rejects.
+
+    GQA is supported when the broadcast ratio divides the 8-q-row
+    iteration group (r in {1, 2, 4, 8} — covers MHA 7B 32/32 and
+    llama3-8b 32/8)."""
+    if n_kv_heads == 0 or n_heads % n_kv_heads != 0:
+        return False
+    r = n_heads // n_kv_heads
+    return (head_dim == 128 and n_heads % 8 == 0 and 8 % r == 0
+            and n_heads * head_dim == 4096     # wof layout + kb == 128
+            and (dim_o, ko) == (4096, 4096))
 
 
 def attention_fused_supported(wqkv, wo, n_heads: int, n_kv_heads: int,
@@ -240,14 +304,12 @@ def attention_fused_supported(wqkv, wo, n_heads: int, n_kv_heads: int,
         return False
     if wqkv.fmt != "q4_k" or wo.fmt != "q4_k" or wo.layout != "wof":
         return False
-    if head_dim != 128 or n_heads != n_kv_heads or n_heads % 8 != 0:
+    nw, kw = wo.array_shape
+    if not wof_shape_supported(nw, kw, n_heads, n_kv_heads, head_dim):
         return False
     dim = n_heads * head_dim
-    if dim != 4096:                       # wof layout + kb == 128 gate
-        return False
     nq, kq = wqkv.array_shape
-    nw, kw = wo.array_shape
-    if (nq, kq) != (3 * dim, dim) or (nw, kw) != (dim, dim):
+    if (nq, kq) != ((n_heads + 2 * n_kv_heads) * head_dim, dim):
         return False
     return cache_dtype in (jnp.bfloat16, jnp.float32)
 
@@ -284,8 +346,11 @@ def attention_fused(
     bk = min(block_k, S)
     assert S % bk == 0
     n_blocks = S // bk
-    ht = 8
-    n_groups = nKV // ht
+    ht = 8                                # q rows per attention iteration
+    r = nH // nKV                         # GQA ratio (1 for MHA)
+    assert nH % nKV == 0 and ht % r == 0
+    kh_pg = ht // r                       # KV heads per iteration
+    n_groups = nH // ht
 
     NQ, KQ = wqkv.array_shape
     planQ = chunk8_plan(NQ, KQ)
@@ -326,51 +391,75 @@ def attention_fused(
     qmap = lambda i, lens, lyr_: (jnp.minimum(i, nQ - 1), 0)
 
     cache_dtype = k_cache.dtype
+    s6q = wqkv.enc == "s6"
+    s6w = wo.enc == "s6"
     kernel = functools.partial(
         _fused_attn_kernel,
         nQ=nQ, bnQ=bnQ, n_blocks=n_blocks, n_groups=n_groups,
         ht=ht, bk=bk, nH=nH, nKV=nKV, splitsQ=splitsQ, splitsW=splitsW,
-        cache_dtype=cache_dtype)
+        cache_dtype=cache_dtype, s6q=s6q, s6w=s6w)
 
+    in_specs = [
+        pl.BlockSpec((32, 128), cmap),               # ab
+        pl.BlockSpec((8, 128), cmap),                # sc2
+        pl.BlockSpec((128, 128), cmap),              # eye
+    ]
+    operands = [ab, sc2, eye]
+    if s6q:
+        eddq = jnp.asarray(_dd_expand_np(KQ, wqkv.layout))
+        in_specs.append(pl.BlockSpec(eddq.shape, cmap))
+        operands.append(eddq)
+    if s6w:
+        eddw = jnp.asarray(_dd_expand_np(KW, wo.layout))
+        in_specs.append(pl.BlockSpec(eddw.shape, cmap))
+        operands.append(eddw)
+    in_specs += [
+        pl.BlockSpec((bnQ, KQ // 2), qmap),          # wqkv qs
+        pl.BlockSpec((bnQ, kb), qmap),               # wqkv es/sc6
+        pl.BlockSpec((bnQ, kb), qmap),               # wqkv em/mn6
+    ]
+    operands += [wqkv.qs, wqkv.es, wqkv.em]
+    if s6q:
+        in_specs.append(pl.BlockSpec((bnQ, KQ // QK_K * 2), qmap))
+        operands.append(wqkv.d)                      # wqkv dd
+    in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * (6 if s6w else 5)
+    operands += [k_cache, v_cache, wo.qs, wo.es, wo.em]
+    if s6w:
+        operands.append(wo.d)
+
+    scratch = [
+        pltpu.VMEM((1, NQ), jnp.float32),            # yqkv
+        pltpu.VMEM((nH, 128), jnp.float32),          # qt
+        pltpu.VMEM((KQ // 2, 128), jnp.int8),        # eas
+        pltpu.VMEM((KQ // 2, 128), jnp.int8),        # ebs
+        pltpu.VMEM((4, 128), jnp.float32),           # scs
+        pltpu.VMEM((nH, 128), jnp.float32),          # m
+        pltpu.VMEM((nH, 128), jnp.float32),          # l
+        pltpu.VMEM((ht, 128), jnp.float32),          # acc
+        pltpu.VMEM((nH, 128), jnp.float32),          # ofin
+        pltpu.VMEM((2, kh_pg, bk, D), cache_dtype),  # kbuf
+        pltpu.VMEM((2, kh_pg, bk, D), cache_dtype),  # vbuf
+        pltpu.VMEM((NW, KW // 2), jnp.int8),         # wo qs resident
+        pltpu.VMEM((NW, KW // 32), wo.es.dtype),     # wo es resident
+        pltpu.VMEM((NW, KW // 32), wo.em.dtype),     # wo em resident
+    ]
+    if s6w:
+        scratch.append(
+            pltpu.VMEM((NW, KW // QK_K * 2), wo.d.dtype))   # wo dd
+    scratch += [
+        pltpu.SemaphoreType.DMA((2, 2)),             # kv sems
+        pltpu.SemaphoreType.DMA((4 if s6w else 3,)),  # wo sems
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((32, 128), cmap),               # ab
-            pl.BlockSpec((8, 128), cmap),                # sc2
-            pl.BlockSpec((128, 128), cmap),              # eye
-            pl.BlockSpec((bnQ, KQ // 2), qmap),          # wqkv qs
-            pl.BlockSpec((bnQ, kb), qmap),               # wqkv es
-            pl.BlockSpec((bnQ, kb), qmap),               # wqkv em
-            pl.BlockSpec(memory_space=pl.ANY),        # k cache
-            pl.BlockSpec(memory_space=pl.ANY),        # v cache
-            pl.BlockSpec(memory_space=pl.ANY),        # wo qs
-            pl.BlockSpec(memory_space=pl.ANY),        # wo es
-            pl.BlockSpec(memory_space=pl.ANY),        # wo em
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, NW), cmap),                 # o
             pl.BlockSpec((nKV, D), cmap),                # k_new
             pl.BlockSpec((nKV, D), cmap),                # v_new
         ],
-        scratch_shapes=[
-            pltpu.VMEM((1, NQ), jnp.float32),            # yqkv
-            pltpu.VMEM((nH, 128), jnp.float32),          # qt
-            pltpu.VMEM((KQ // 2, 128), jnp.int8),        # eas
-            pltpu.VMEM((KQ // 2, 128), jnp.int8),        # ebs
-            pltpu.VMEM((4, 128), jnp.float32),           # scs
-            pltpu.VMEM((nH, 128), jnp.float32),          # m
-            pltpu.VMEM((nH, 128), jnp.float32),          # l
-            pltpu.VMEM((ht, 128), jnp.float32),          # acc
-            pltpu.VMEM((nH, 128), jnp.float32),          # ofin
-            pltpu.VMEM((2, ht, bk, D), cache_dtype),     # kbuf
-            pltpu.VMEM((2, ht, bk, D), cache_dtype),     # vbuf
-            pltpu.VMEM((NW, KW // 2), jnp.int8),         # wo qs resident
-            pltpu.VMEM((NW, KW // 32), wo.es.dtype),     # wo es resident
-            pltpu.VMEM((NW, KW // 32), wo.em.dtype),     # wo em resident
-            pltpu.SemaphoreType.DMA((2, 2)),             # kv sems
-            pltpu.SemaphoreType.DMA((3,)),               # wo sems
-        ],
+        scratch_shapes=scratch,
     )
 
     wbytes = wqkv.nbytes + wo.nbytes
@@ -390,8 +479,5 @@ def attention_fused(
             bytes_accessed=wbytes + 2 * nKV * S * D * k_cache.dtype.itemsize,
             transcendentals=nH * S),
         interpret=interpret_default(interpret),
-    )(lens_incl, lyr, ab, sc2, eye,
-      wqkv.qs, wqkv.es, wqkv.em,
-      k_cache, v_cache,
-      wo.qs, wo.es, wo.em)
+    )(lens_incl, lyr, *operands)
     return o, k_new, v_new

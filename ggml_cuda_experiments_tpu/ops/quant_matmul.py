@@ -37,12 +37,34 @@ keeping V transposed-contiguous so the hot loop needs no layout fixups,
 /root/reference/src/flash_row_float.h:176-177 — pick the storage layout the
 kernel wants, once, at load time).
 
-Q4_K device encoding ("Q4_K-E"): the 6-bit sub-scales/mins are folded at
-load time into per-32-block *effective* scales ``es = bf16(f32(d)*sc)`` and
-mins ``em = bf16(f32(dmin)*mn)`` — 5.0 bits/weight streamed (vs GGML's
-4.66) in exchange for a superblock-free kernel; bf16 rounding of the
-effective scale is ~0.4%, an order below the 4-bit quantization step. The
-min/offset terms never touch the weights: they contribute
+Q4_K device encodings
+---------------------
+Two scale encodings exist, selected by ``QuantLinear.enc``:
+
+``enc="s6"`` (default for K % 4096 == 0 — every 7B-class shape): the
+GGML-faithful *streaming* encoding. Per row it stores the 6-bit
+sub-scales/mins one byte each (``es``/``em`` int8 [N, K/32], values 0..63)
+plus the fp16 superblock scales rounded to bf16 (``d`` [N, 2*K/256]:
+d-half then dmin-half, LOGICAL superblock order) — 18.5 bytes per 32
+weights = **4.625 bits/weight** streamed, vs GGML's 4.5 wire bits and the
+old pre-expanded encoding's 5.0. The effective per-32-block scales are
+reconstructed IN-KERNEL as one bf16 MXU dot with a constant one-hot
+superblock-expansion matrix ``E_dd[s, r] = 1 iff perm32[r] // 8 == s``
+(so the trick is layout-agnostic: std, segment-local and wof orders all
+just change perm32), then two VPU multiplies:
+``es = (d @ E_d) * sc6``, ``em = (dmin @ E_d) * mn6``. The expansion dot
+is N*K/4 MACs — three orders below the payload selector dots. This is the
+hot-loop-minimalism rule of the reference (pay layout cost once so the
+hot loop streams the minimum, /root/reference/src/flash_row_float.h:176-177)
+applied to the scale stream itself. bf16 rounding of d is ~0.4%, an order
+below the 4-bit quantization step.
+
+``enc="e"`` ("Q4_K-E", kept for K % 4096 != 0): sub-scales folded at load
+time into per-32-block effective scales ``es = bf16(f32(d)*sc)`` and mins
+``em = bf16(f32(dmin)*mn)`` — 5.0 bits/weight streamed, superblock-free
+kernel.
+
+Either way the min/offset terms never touch the weights: they contribute
 ``sum_b em[n,b] * xs[b]`` with xs the per-block sums of x, computed
 in-kernel from the activation tile.
 """
@@ -296,6 +318,9 @@ class QuantLinear:
     # activation permute / logical meaning
     layout: str = dataclasses.field(default="std",
                                     metadata=dict(static=True))
+    # q4_k scale encoding: "e" (pre-expanded bf16 effective scales) or
+    # "s6" (streaming 6-bit scales + bf16 superblock d — module docstring)
+    enc: str = dataclasses.field(default="e", metadata=dict(static=True))
 
     @property
     def array_shape(self) -> tuple[int, int]:
@@ -316,15 +341,55 @@ _FIELDS = {
     "q4_k": ("qs", "es", "em"),
     "q6_k": ("qs", "qh", "es"),
 }
+_FIELDS_S6 = ("qs", "es", "em", "d")     # q4_k streaming encoding
 
 
-def _lane_div(fmt: str, field: str) -> int:
+def _fields(ql: "QuantLinear") -> tuple[str, ...]:
+    if ql.fmt == "q4_k" and ql.enc == "s6":
+        return _FIELDS_S6
+    return _FIELDS[ql.fmt]
+
+
+def _lane_div(fmt: str, field: str, s6: bool = False) -> int:
     """Lanes-per-row divisor of K for each device field."""
     if field == "qs":
         return 1 if fmt == "q8_0" else 2
     if fmt == "q6_k":
         return {"qh": 4, "es": 16}[field]
+    if s6 and field == "d":
+        return QK_K // 2          # [N, 2*K/256]: d-half then dmin-half
     return QK        # d / es / em of the 32-block formats
+
+
+@functools.cache
+def _dd_expand_np(k: int, layout: str = "std") -> np.ndarray:
+    """Constant one-hot superblock-expansion matrix for the s6 encoding:
+    ``E_dd`` [2S, 2*kb] bf16 with S = K/256, kb = K/32, block-diagonal in
+    its two halves — (d @ E_dd)[:, :kb] broadcasts each row's superblock
+    d to its 8 scale lanes (lane order = perm32 of ``layout``), and
+    [:, kb:] does the same for dmin. One matrix serves every layout
+    because it is built from perm32 itself."""
+    _, p32 = _layout_perms(k, layout)
+    sb = np.asarray(p32) // 8                 # [kb] superblock of lane r
+    s_tot = k // QK_K
+    kb = k // QK
+    e = np.zeros((2 * s_tot, 2 * kb), ml_dtypes.bfloat16)
+    e[sb, np.arange(kb)] = 1
+    e[s_tot + sb, kb + np.arange(kb)] = 1
+    return e
+
+
+def _decode_es_em_s6(sc6_ref, mn6_ref, dd_ref, edd_ref):
+    """In-kernel s6 scale decode -> (es, em) f32 [bn, kb].
+    sc6/mn6: int8 refs [bn, kb]; dd: bf16 ref [bn, 2S]; edd: bf16
+    constant ref [2S, 2*kb] (see _dd_expand_np). kb must be 128-aligned
+    (guaranteed: s6 is only produced for K % 4096 == 0)."""
+    z = jax.lax.dot(dd_ref[...], edd_ref[...],
+                    preferred_element_type=jnp.float32)   # [bn, 2kb]
+    kb = z.shape[1] // 2
+    es = z[:, :kb] * sc6_ref[...].astype(jnp.int32).astype(jnp.float32)
+    em = z[:, kb:] * mn6_ref[...].astype(jnp.int32).astype(jnp.float32)
+    return es, em
 
 
 def _pack_halves(q_dev: np.ndarray) -> np.ndarray:
@@ -354,9 +419,11 @@ def q4_k_effective(t: quant_ref.Q4_K) -> tuple[np.ndarray, np.ndarray]:
     return es, em
 
 
-def from_oracle(t, layout: str = "std") -> QuantLinear:
+def from_oracle(t, layout: str = "std", enc: str = "auto") -> QuantLinear:
     """Convert an oracle-quantized tensor (logical planar NumPy layout) to
-    interleaved device arrays. ``layout``: "std" or "wof" (q4_k only)."""
+    interleaved device arrays. ``layout``: "std" or "wof" (q4_k only).
+    ``enc`` (q4_k only): "auto" (s6 when K % 4096 == 0, else e), "s6",
+    or "e" — see the module docstring."""
     n, k = t.shape
     if layout != "std":
         assert layout == "wof" and isinstance(t, quant_ref.Q4_K), \
@@ -377,6 +444,20 @@ def from_oracle(t, layout: str = "std") -> QuantLinear:
     if isinstance(t, quant_ref.Q4_K):
         q = quant_ref.unpack_nibbles(
             t.qs.reshape(n, k // QK, QK // 2)).reshape(n, k)
+        if enc == "auto":
+            enc = "s6" if k % (128 * QK) == 0 else "e"
+        if enc == "s6":
+            # streaming encoding: raw 6-bit sc/mn one byte each (lane
+            # order), bf16 superblock d|dmin in LOGICAL order (the
+            # in-kernel E_dd dot owns the lane mapping)
+            dd = np.concatenate([t.d, t.dmin], axis=1
+                                ).astype(ml_dtypes.bfloat16)
+            return QuantLinear(
+                fmt="q4_k", shape=(n, k), layout=layout, enc="s6",
+                qs=jnp.asarray(_pack_halves(q[:, p])),
+                es=jnp.asarray(t.sc[:, p32].astype(np.int8)),
+                em=jnp.asarray(t.mn[:, p32].astype(np.int8)),
+                d=jnp.asarray(dd))
         es, em = q4_k_effective(t)
         return QuantLinear(
             fmt="q4_k", shape=(n, k), layout=layout,
@@ -405,11 +486,34 @@ def from_oracle(t, layout: str = "std") -> QuantLinear:
     raise TypeError(f"unsupported oracle tensor {type(t)}")
 
 
-def quantize(w: np.ndarray, fmt: str, layout: str = "std") -> QuantLinear:
+def quantize(w: np.ndarray, fmt: str, layout: str = "std",
+             enc: str = "auto") -> QuantLinear:
     """Quantize a float [N, K] weight into device arrays (native C++ codec
     when built — bit-identical to the oracle — else the NumPy oracle)."""
     from ggml_cuda_experiments_tpu.utils import native
-    return from_oracle(native.quantize(np.asarray(w), fmt), layout)
+    return from_oracle(native.quantize(np.asarray(w), fmt), layout, enc)
+
+
+def scales_to_e(ql: QuantLinear) -> QuantLinear:
+    """XLA expansion of an s6-encoded q4_k weight to the "e" encoding
+    (bf16 effective scales). Used by the few dispatch paths that have no
+    in-kernel s6 decode (B 2-8 VPU loop) — costs one [N, K/32] bf16
+    materialization per call, so the hot paths decode in-kernel instead."""
+    if not (ql.fmt == "q4_k" and ql.enc == "s6"):
+        return ql
+    n, k = ql.array_shape
+    s_tot = k // QK_K
+    sb = jnp.asarray(
+        np.asarray(_layout_perms(k, ql.layout)[1]) // 8)   # [kb]
+    d = jnp.take(ql.d[:, :s_tot], sb, axis=1).astype(jnp.float32)
+    dm = jnp.take(ql.d[:, s_tot:], sb, axis=1).astype(jnp.float32)
+    # f32 products, NOT re-rounded to bf16: the expansion must agree
+    # bit-for-bit with the in-kernel s6 decode (f32 = f32(bf16 d) * sc6)
+    # so every dispatch path of one weight computes identical scales
+    es = d * ql.es.astype(jnp.float32)
+    em = dm * ql.em.astype(jnp.float32)
+    return QuantLinear(fmt="q4_k", shape=ql.shape, layout=ql.layout,
+                       enc="e", qs=ql.qs, es=es, em=em)
 
 
 # ---------------------------------------------------------------------------
@@ -470,8 +574,8 @@ def _selector_np(rows: int, kb: int, n_segs: int = 1):
 # B=1 4-bit path: ~80% of HBM roofline vs ~47% for the repeat-based variant
 # ---------------------------------------------------------------------------
 
-def _chunk_kernel(a_ref, b_ref, sc_ref, qs_ref, s1_ref, s2_ref, o_ref, *,
-                  fmt: str, n_chunks: int, n_segs: int = 1):
+def _chunk_kernel(*refs, fmt: str, n_chunks: int, n_segs: int = 1,
+                  s6: bool = False):
     """Minimal-VPU-ops dequant matvec over the signed-friendly packing.
 
     With p = int8 byte = lo + 16*hi - 128 (see _pack_halves), the true high
@@ -493,6 +597,11 @@ def _chunk_kernel(a_ref, b_ref, sc_ref, qs_ref, s1_ref, s2_ref, o_ref, *,
     split-KV decode uses ((O,M,S) partials then a merge,
     /root/reference/src/flash_row_float.h:191-198,429-471) applied to the
     dequant dot: partial per chunk, cheap merge at block granularity."""
+    if s6:
+        (a_ref, b_ref, sc_ref, edd_ref, qs_ref, s1_ref, s2_ref, dd_ref,
+         o_ref) = refs
+    else:
+        a_ref, b_ref, sc_ref, qs_ref, s1_ref, s2_ref, o_ref = refs
     p = qs_ref[...]                                   # [bn, K/2] int8
     pf = p.astype(jnp.float32)
     hi = jnp.floor(pf * 0.0625 + 8.0)
@@ -514,8 +623,12 @@ def _chunk_kernel(a_ref, b_ref, sc_ref, qs_ref, s1_ref, s2_ref, o_ref, *,
         z = t[:, :kb]
         for s in range(1, n_chunks):    # serial fold (tree measured slower)
             z = z + t[:, s * kb:(s + 1) * kb]
-    es = s1_ref[...].astype(jnp.float32)
-    em = 8.0 * es if fmt == "q4_0" else s2_ref[...].astype(jnp.float32)
+    if s6:
+        es, em = _decode_es_em_s6(s1_ref, s2_ref, dd_ref, edd_ref)
+    else:
+        es = s1_ref[...].astype(jnp.float32)
+        em = (8.0 * es if fmt == "q4_0"
+              else s2_ref[...].astype(jnp.float32))
     y = es * (z + sc_ref[0:1]) - em * sc_ref[1:2]     # [bn, Kb]
     o_ref[...] = jnp.sum(y, axis=1)[None, :]
 
@@ -652,18 +765,34 @@ def _dequant_halves(fmt: str, refs, rep, n_segs: int = 1):
     if fmt == "q4_0":
         s_half = rep(refs["d"][...], QK // 2)
         return (lo - 8.0) * s_half, (hi - 8.0) * s_half
-    es = rep(refs["es"][...].astype(jnp.float32), QK // 2)
-    em = rep(refs["em"][...].astype(jnp.float32), QK // 2)
+    if "edd" in refs:                        # q4_k s6 streaming encoding
+        es_kb, em_kb = _decode_es_em_s6(
+            refs["es"], refs["em"], refs["d"], refs["edd"])
+        es = rep(es_kb, QK // 2)
+        em = rep(em_kb, QK // 2)
+    else:
+        es = rep(refs["es"][...].astype(jnp.float32), QK // 2)
+        em = rep(refs["em"][...].astype(jnp.float32), QK // 2)
     return lo * es - em, hi * es - em
 
 
-def _vpu2_kernel(*refs, fmt: str, n_segs: int = 1):
+def _unpack_w_refs(refs, fmt: str, s6: bool):
+    """(x_ref, w_refs dict incl. optional edd, next_index) for the
+    kernels whose operand list is [x, *weight_fields, edd?, out, ...]."""
+    names = _FIELDS_S6 if s6 else _FIELDS[fmt]
+    w_refs = dict(zip(names, refs[1:1 + len(names)]))
+    idx = 1 + len(names)
+    if s6:
+        w_refs["edd"] = refs[idx]
+        idx += 1
+    return refs[0], w_refs, idx
+
+
+def _vpu2_kernel(*refs, fmt: str, n_segs: int = 1, s6: bool = False):
     """B=1 full-width VPU matvec using the repeat-based dequant (fastest
     measured variant at repeat-aligned K: ~56% roofline for q4_k)."""
-    names = _FIELDS[fmt]
-    x_ref = refs[0]
-    w_refs = dict(zip(names, refs[1:1 + len(names)]))
-    o_ref = refs[1 + len(names)]
+    x_ref, w_refs, idx = _unpack_w_refs(refs, fmt, s6)
+    o_ref = refs[idx]
 
     w_lo, w_hi = _dequant_halves(fmt, w_refs, _mosaic_rep, n_segs)
     x = x_ref[...]                                       # [1, K] f32
@@ -675,18 +804,17 @@ def _vpu2_kernel(*refs, fmt: str, n_segs: int = 1):
     o_ref[...] = acc[None, :].astype(o_ref.dtype)
 
 
-def _pipe_kernel(*refs, fmt: str, n_tiles: int, n_segs: int = 1):
+def _pipe_kernel(*refs, fmt: str, n_tiles: int, n_segs: int = 1,
+                 s6: bool = False):
     """Software-pipelined matvec: the VPU dequantizes tile i into a VMEM
     scratch slot while the MXU multiplies tile i-1 from the other slot —
     the two units have no data dependency inside a grid step, so Mosaic can
     overlap them and the kernel runs at max(DMA, dequant, dot) instead of
     their sum. Grid has one epilogue step (n_tiles + 1); output tile i-1 is
     stored at step i."""
-    names = _FIELDS[fmt]
-    x_ref = refs[0]
-    w_refs = dict(zip(names, refs[1:1 + len(names)]))
-    o_ref = refs[1 + len(names)]
-    wbuf = refs[2 + len(names)]                 # [2, bn, K] bf16 scratch
+    x_ref, w_refs, idx = _unpack_w_refs(refs, fmt, s6)
+    o_ref = refs[idx]
+    wbuf = refs[idx + 1]                        # [2, bn, K] bf16 scratch
     i = pl.program_id(0)
     slot = jax.lax.rem(i, 2)
 
@@ -709,12 +837,11 @@ def _pipe_kernel(*refs, fmt: str, n_tiles: int, n_segs: int = 1):
             preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
-def _mxu_kernel(*refs, fmt: str, compute_dtype, n_segs: int = 1):
+def _mxu_kernel(*refs, fmt: str, compute_dtype, n_segs: int = 1,
+                s6: bool = False):
     """Grid (n,): out = x_perm @ dequant(W_tile)^T — 1-2 MXU dots."""
-    names = _FIELDS[fmt]
-    x_ref = refs[0]
-    w_refs = dict(zip(names, refs[1:1 + len(names)]))
-    o_ref = refs[1 + len(names)]
+    x_ref, w_refs, idx = _unpack_w_refs(refs, fmt, s6)
+    o_ref = refs[idx]
 
     w_lo, w_hi = _dequant_halves(fmt, w_refs, _mosaic_rep, n_segs)
     x = x_ref[...].astype(compute_dtype)                     # [B, K]
@@ -802,12 +929,20 @@ def qmatmul(
         return qmatmul_xla(x, ql, compute_dtype=jnp.float32
                            if compute_dtype == jnp.float32 else jnp.bfloat16)
 
+    s6 = ql.fmt == "q4_k" and ql.enc == "s6"
+    if s6 and use_vpu and not (B == 1 and _rep_aligned(kb)):
+        # the B 2-8 VPU-looped kernel has no in-kernel s6 decode; expand
+        # the scales once in XLA (rare path — decode is B==1, batch >= 2
+        # runs the MXU kernel which decodes s6 natively)
+        ql = scales_to_e(ql)
+        s6 = False
+
     # ``x_prepermuted``: caller already supplies x in the interleaved
     # column order (e.g. the fused-MLP intermediate, whose producer's row
     # order was chosen to match) — skip the permute
     xp = (x.astype(jnp.float32) if x_prepermuted
           else _permute_x(x.astype(jnp.float32), ql.layout))
-    fields = _FIELDS[ql.fmt]
+    fields = _fields(ql)
 
     if pipelined and _rep_aligned(kb):
         if B > 8:
@@ -863,20 +998,26 @@ def qmatmul(
             transcendentals=0)
         if B == 1 and _rep_aligned(kb):
             # fast full-width variant (repeat-based scale expansion)
+            in_specs = [pl.BlockSpec((1, K), lambda n: (0, 0))] + [
+                pl.BlockSpec((bn, K // _lane_div(ql.fmt, f, s6)),
+                             lambda n: (n, 0)) for f in fields]
+            operands = [xp, *arrays]
+            if s6:
+                edd = jnp.asarray(_dd_expand_np(K, ql.layout))
+                in_specs.append(pl.BlockSpec(edd.shape, lambda n: (0, 0)))
+                operands.append(edd)
             out = pl.pallas_call(
                 functools.partial(_vpu2_kernel, fmt=ql.fmt,
-                                  n_segs=_n_segs(K)),
+                                  n_segs=_n_segs(K), s6=s6),
                 out_shape=jax.ShapeDtypeStruct((1, Np), out_dtype),
                 grid=(Np // bn,),
-                in_specs=[pl.BlockSpec((1, K), lambda n: (0, 0))]
-                + [pl.BlockSpec((bn, K // _lane_div(ql.fmt, f)),
-                                lambda n: (n, 0)) for f in fields],
+                in_specs=in_specs,
                 out_specs=pl.BlockSpec((1, bn), lambda n: (0, n)),
                 compiler_params=pltpu.CompilerParams(
                     dimension_semantics=("arbitrary",)),
                 cost_estimate=cost,
                 interpret=interpret_default(interpret),
-            )(xp, *arrays)
+            )(*operands)
             return out[:, :N]
         # any-K path: segment fold via the constant selector matmul
         rows = K if ql.fmt == "q8_0" else K // 2
@@ -908,12 +1049,18 @@ def qmatmul(
         xp = jnp.pad(xp, ((0, Bp - B), (0, 0)))
     in_specs = [pl.BlockSpec((Bp, K), lambda n: (0, 0))]
     for f in fields:
-        div = _lane_div(ql.fmt, f)
+        div = _lane_div(ql.fmt, f, s6)
         in_specs.append(pl.BlockSpec((bn, K // div), lambda n: (n, 0)))
+    operands = [xp, *arrays]
+    if s6:
+        edd = jnp.asarray(_dd_expand_np(K, ql.layout))
+        in_specs.append(pl.BlockSpec(edd.shape, lambda n: (0, 0)))
+        operands.append(edd)
 
     out = pl.pallas_call(
         functools.partial(_mxu_kernel, fmt=ql.fmt,
-                          compute_dtype=compute_dtype, n_segs=_n_segs(K)),
+                          compute_dtype=compute_dtype, n_segs=_n_segs(K),
+                          s6=s6),
         out_shape=jax.ShapeDtypeStruct((Bp, Np), out_dtype),
         grid=(Np // bn,),
         in_specs=in_specs,
@@ -926,7 +1073,7 @@ def qmatmul(
             + Bp * K * 4 + Bp * Np * 4,
             transcendentals=0),
         interpret=interpret_default(interpret),
-    )(xp, *arrays)
+    )(*operands)
     return out[:B, :N]
 
 
@@ -943,9 +1090,9 @@ def _row_splits(bn: int, target: int = 1024) -> tuple[int, ...]:
     return tuple(sizes)
 
 
-def _chunk8_kernel(ea_ref, eb_ref, sc_ref, qs_ref, s1_ref, s2_ref, o_ref, *,
-                   fmt: str, n_segs: int = 1,
-                   splits: tuple[int, ...] | None = None):
+def _chunk8_kernel(*refs, fmt: str, n_segs: int = 1,
+                   splits: tuple[int, ...] | None = None,
+                   s6: bool = False):
     """Integer-dot B=1 q4 matvec (llama.cpp Q4_K x Q8 analog,
     ggml vec_dot_q4_K_q8_K re-asked for the MXU).
 
@@ -975,9 +1122,15 @@ def _chunk8_kernel(ea_ref, eb_ref, sc_ref, qs_ref, s1_ref, s2_ref, o_ref, *,
     unpack/dot chain still pipelines. The round-1 bn=2048 regression was
     Mosaic's default ~16 MB scoped-VMEM limit: raised via
     compiler_params (see _qmatmul_chunk8)."""
-    es = s1_ref[...].astype(jnp.float32)
-    em = (8.0 * es if fmt == "q4_0"
-          else s2_ref[...].astype(jnp.float32))
+    if s6:
+        (ea_ref, eb_ref, sc_ref, edd_ref, qs_ref, s1_ref, s2_ref, dd_ref,
+         o_ref) = refs
+        es, em = _decode_es_em_s6(s1_ref, s2_ref, dd_ref, edd_ref)
+    else:
+        ea_ref, eb_ref, sc_ref, qs_ref, s1_ref, s2_ref, o_ref = refs
+        es = s1_ref[...].astype(jnp.float32)
+        em = (8.0 * es if fmt == "q4_0"
+              else s2_ref[...].astype(jnp.float32))
     o_ref[...] = _chunk8_compute(
         ea_ref, eb_ref, sc_ref[...], qs_ref, es, em,
         n_segs=n_segs, splits=splits)
@@ -1087,9 +1240,15 @@ def chunk8_plan(N: int, K: int, block_n: int | None = None) -> dict:
     vmem_limit = 100 * 2**20 if bn * K > 6.3e6 else None
     segs = _n_segs(K)
     kb_sel = 128 if segs > 1 else kb
+    # scale streams assume the s6 encoding when K allows it (int8 sc/mn
+    # [bn, kb] x2 + bf16 d|dmin [bn, K/128]), else bf16 es/em
+    s6 = K % (128 * QK) == 0
+    scale_bytes = (2 * (2 * bn * kb + 2 * bn * (K // 128))
+                   if s6 else 2 * 2 * 2 * bn * kb)
     est = {
         "payload (2 slots)": 2 * bn * kh,
-        "scales es/em (2 slots)": 2 * 2 * 2 * bn * kb,
+        ("scales sc/mn/dd (2 slots)" if s6 else
+         "scales es/em (2 slots)"): scale_bytes,
         "selectors ea/eb": 2 * kh * kb_sel,
         "lo subtile": max(splits) * kh,
         "int32 partials": 2 * 4 * bn * kb,
@@ -1126,7 +1285,8 @@ def _qmatmul_chunk8(xp, ql, N, K, kb, block_n, out_dtype, interpret):
     in-kernel concat costs more than the saved dot: 44-51% roofline);
     zp-on-MXU + zl-as-VPU-fold (72-76%).
     """
-    fields = _FIELDS[ql.fmt]
+    s6 = ql.enc == "s6" and ql.fmt == "q4_k"
+    fields = _fields(ql)
     kh = K // 2
     plan = chunk8_plan(N, K, block_n)
     bn, Np, splits = plan["bn"], plan["Np"], plan["splits"]
@@ -1158,19 +1318,33 @@ def _qmatmul_chunk8(xp, ql, N, K, kb, block_n, out_dtype, interpret):
     cp = dict(dimension_semantics=("arbitrary",))
     if vmem_bytes is not None:
         cp["vmem_limit_bytes"] = vmem_bytes
+    const = lambda n: (0, 0)
+    tile = lambda n: (n, 0)
+    in_specs = [
+        pl.BlockSpec((kh, kb_sel), const),
+        pl.BlockSpec((kh, kb_sel), const),
+        pl.BlockSpec((4, kb), const),
+    ]
+    operands = [ea, eb, sc]
+    if s6:
+        edd = jnp.asarray(_dd_expand_np(K, ql.layout))
+        in_specs.append(pl.BlockSpec(edd.shape, const))
+        operands.append(edd)
+    in_specs += [
+        pl.BlockSpec((bn, kh), tile),
+        pl.BlockSpec((bn, kb), tile),
+        pl.BlockSpec((bn, kb), tile),
+    ]
+    operands += [arrays[0], s1, s2]
+    if s6:
+        in_specs.append(pl.BlockSpec((bn, K // QK_K * 2), tile))
+        operands.append(arrays[3])                    # dd
     out = pl.pallas_call(
         functools.partial(_chunk8_kernel, fmt=ql.fmt, n_segs=segs,
-                          splits=splits),
+                          splits=splits, s6=s6),
         out_shape=jax.ShapeDtypeStruct((1, Np), jnp.float32),
         grid=(Np // bn,),
-        in_specs=[
-            pl.BlockSpec((kh, kb_sel), lambda n: (0, 0)),
-            pl.BlockSpec((kh, kb_sel), lambda n: (0, 0)),
-            pl.BlockSpec((4, kb), lambda n: (0, 0)),
-            pl.BlockSpec((bn, kh), lambda n: (n, 0)),
-            pl.BlockSpec((bn, kb), lambda n: (n, 0)),
-            pl.BlockSpec((bn, kb), lambda n: (n, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, bn), lambda n: (0, n)),
         compiler_params=pltpu.CompilerParams(**cp),
         cost_estimate=pl.CostEstimate(
@@ -1179,13 +1353,14 @@ def _qmatmul_chunk8(xp, ql, N, K, kb, block_n, out_dtype, interpret):
                                for a_ in arrays) + K * 4 + Np * 4,
             transcendentals=0),
         interpret=interpret_default(interpret),
-    )(ea, eb, sc, arrays[0], s1, s2)
+    )(*operands)
     return out[:, :N].astype(out_dtype)
 
 
 def _qmatmul_chunk(xp, ql, N, K, kb, block_n, out_dtype, interpret):
     """Dispatch for the chunk-fold B=1 q4 matvec (see _chunk_kernel)."""
-    fields = _FIELDS[ql.fmt]
+    s6 = ql.enc == "s6" and ql.fmt == "q4_k"
+    fields = _fields(ql)
     kh = K // 2
     bn = block_n or max(128, (8_388_608 // K) // 128 * 128)
     bn = min(bn, N)
@@ -1205,19 +1380,33 @@ def _qmatmul_chunk(xp, ql, N, K, kb, block_n, out_dtype, interpret):
     sc = jnp.stack([c, xs])                            # [2, Kb]
     s1 = arrays[1]
     s2 = arrays[2] if len(arrays) > 2 else arrays[1]
+    const = lambda n: (0, 0)
+    tile = lambda n: (n, 0)
+    in_specs = [
+        pl.BlockSpec((1, kh), const),
+        pl.BlockSpec((1, kh), const),
+        pl.BlockSpec((2, kb), const),
+    ]
+    operands = [a, bvec, sc]
+    if s6:
+        edd = jnp.asarray(_dd_expand_np(K, ql.layout))
+        in_specs.append(pl.BlockSpec(edd.shape, const))
+        operands.append(edd)
+    in_specs += [
+        pl.BlockSpec((bn, kh), tile),
+        pl.BlockSpec((bn, kb), tile),
+        pl.BlockSpec((bn, kb), tile),
+    ]
+    operands += [arrays[0], s1, s2]
+    if s6:
+        in_specs.append(pl.BlockSpec((bn, K // QK_K * 2), tile))
+        operands.append(arrays[3])                     # dd
     out = pl.pallas_call(
         functools.partial(_chunk_kernel, fmt=ql.fmt, n_chunks=kh // kb,
-                          n_segs=segs),
+                          n_segs=segs, s6=s6),
         out_shape=jax.ShapeDtypeStruct((1, Np), jnp.float32),
         grid=(Np // bn,),
-        in_specs=[
-            pl.BlockSpec((1, kh), lambda n: (0, 0)),
-            pl.BlockSpec((1, kh), lambda n: (0, 0)),
-            pl.BlockSpec((2, kb), lambda n: (0, 0)),
-            pl.BlockSpec((bn, kh), lambda n: (n, 0)),
-            pl.BlockSpec((bn, kb), lambda n: (n, 0)),
-            pl.BlockSpec((bn, kb), lambda n: (n, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, bn), lambda n: (0, n)),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
@@ -1227,7 +1416,7 @@ def _qmatmul_chunk(xp, ql, N, K, kb, block_n, out_dtype, interpret):
                                for a_ in arrays) + K * 4 + Np * 4,
             transcendentals=0),
         interpret=interpret_default(interpret),
-    )(a, bvec, sc, arrays[0], s1, s2)
+    )(*operands)
     return out[:, :N].astype(out_dtype)
 
 
@@ -1235,12 +1424,10 @@ def _qmatmul_chunk(xp, ql, N, K, kb, block_n, out_dtype, interpret):
 # fused MLP kernel: w_gu matvec -> silu*mul -> w_down matvec, ONE launch
 # ---------------------------------------------------------------------------
 
-def _fused_mlp_kernel(ab4_ref, sc4_ref, eye_ref,
-                      gqs_ref, ges_ref, gem_ref,
-                      dqs_ref, des_ref, dem_ref, o_ref,
-                      ygu, ea4, eb4, ead, ebd, scd, *,
+def _fused_mlp_kernel(*refs,
                       nA: int, bnA: int, Kd: int,
-                      splitsA, splitsD, segsD: int):
+                      splitsA, splitsD, segsD: int,
+                      s6g: bool = False, s6d: bool = False):
     """Whole decode MLP in one Pallas call (B=1): per-call latency at
     decode batch 1 measured ~20 us regardless of tile size
     (tools/shape_probe.py), so fusing the two matvecs + the silu glue
@@ -1255,6 +1442,16 @@ def _fused_mlp_kernel(ab4_ref, sc4_ref, eye_ref,
     in w_down's interleaved activation order (reorder_gu_rows); steps
     [nA, nA+nB) run the chunk8 body on w_down tiles against the scratch
     operands and write the output."""
+    it = iter(refs)
+    ab4_ref, sc4_ref, eye_ref = next(it), next(it), next(it)
+    eddg_ref = next(it) if s6g else None
+    eddd_ref = next(it) if s6d else None
+    gqs_ref, ges_ref, gem_ref = next(it), next(it), next(it)
+    gdd_ref = next(it) if s6g else None
+    dqs_ref, des_ref, dem_ref = next(it), next(it), next(it)
+    ddd_ref = next(it) if s6d else None
+    o_ref, ygu, ea4, eb4, ead, ebd, scd = it
+
     i = pl.program_id(0)
     khd = Kd // 2
 
@@ -1274,8 +1471,11 @@ def _fused_mlp_kernel(ab4_ref, sc4_ref, eye_ref,
 
     @pl.when(i < nA)
     def _gu():
-        es = ges_ref[...].astype(jnp.float32)
-        em = gem_ref[...].astype(jnp.float32)
+        if s6g:
+            es, em = _decode_es_em_s6(ges_ref, gem_ref, gdd_ref, eddg_ref)
+        else:
+            es = ges_ref[...].astype(jnp.float32)
+            em = gem_ref[...].astype(jnp.float32)
         y = _chunk8_compute(ea4, eb4, sc4_ref[...], gqs_ref,
                             es, em, n_segs=1, splits=splitsA)
         ygu[0:1, pl.ds(i * bnA, bnA)] = y
@@ -1320,8 +1520,11 @@ def _fused_mlp_kernel(ab4_ref, sc4_ref, eye_ref,
 
     @pl.when(i >= nA)
     def _down():
-        es = des_ref[...].astype(jnp.float32)
-        em = dem_ref[...].astype(jnp.float32)
+        if s6d:
+            es, em = _decode_es_em_s6(des_ref, dem_ref, ddd_ref, eddd_ref)
+        else:
+            es = des_ref[...].astype(jnp.float32)
+            em = dem_ref[...].astype(jnp.float32)
         o_ref[...] = _chunk8_compute(ead, ebd, scd[...], dqs_ref,
                                      es, em, n_segs=segsD, splits=splitsD)
 
@@ -1385,29 +1588,54 @@ def mlp_fused(xp4: jax.Array, w_guf: "QuantLinear", w_down: "QuantLinear",
         return (jnp.pad(a, ((0, NpD - a.shape[0]), (0, 0)))
                 if a.shape[0] != NpD else a)
 
+    s6g = w_guf.enc == "s6"
+    s6d = w_down.enc == "s6"
     arrays_g = [w_guf.qs, w_guf.es, w_guf.em]
+    if s6g:
+        arrays_g.append(w_guf.d)
     arrays_d = [padN(w_down.qs), padN(w_down.es), padN(w_down.em)]
+    if s6d:
+        arrays_d.append(padN(w_down.d))
 
     gmap = lambda i: (jnp.minimum(i, nA - 1), 0)
     dmap = lambda i: (jnp.maximum(i - nA, 0), 0)
     const = lambda i: (0, 0)
+    in_specs = [
+        pl.BlockSpec((khg // 64, 128), const),   # ab4 (a rows | b rows)
+        pl.BlockSpec((4, kbg), const),
+        pl.BlockSpec((128, 128), const),
+    ]
+    consts = [ab4, sc4, eye]
+    if s6g:
+        eddg = jnp.asarray(_dd_expand_np(Kg, w_guf.layout))
+        in_specs.append(pl.BlockSpec(eddg.shape, const))
+        consts.append(eddg)
+    if s6d:
+        eddd = jnp.asarray(_dd_expand_np(Kd, w_down.layout))
+        in_specs.append(pl.BlockSpec(eddd.shape, const))
+        consts.append(eddd)
+    in_specs += [
+        pl.BlockSpec((bnA, khg), gmap),
+        pl.BlockSpec((bnA, kbg), gmap),
+        pl.BlockSpec((bnA, kbg), gmap),
+    ]
+    if s6g:
+        in_specs.append(pl.BlockSpec((bnA, Kg // QK_K * 2), gmap))
+    in_specs += [
+        pl.BlockSpec((bnD, khd), dmap),
+        pl.BlockSpec((bnD, kbd), dmap),
+        pl.BlockSpec((bnD, kbd), dmap),
+    ]
+    if s6d:
+        in_specs.append(pl.BlockSpec((bnD, Kd // QK_K * 2), dmap))
     out = pl.pallas_call(
         functools.partial(
             _fused_mlp_kernel, nA=nA, bnA=bnA, Kd=Kd,
-            splitsA=splitsA, splitsD=splitsD, segsD=segsD),
+            splitsA=splitsA, splitsD=splitsD, segsD=segsD,
+            s6g=s6g, s6d=s6d),
         out_shape=jax.ShapeDtypeStruct((1, NpD), jnp.float32),
         grid=(nA + nB,),
-        in_specs=[
-            pl.BlockSpec((khg // 64, 128), const),   # ab4 (a rows | b rows)
-            pl.BlockSpec((4, kbg), const),
-            pl.BlockSpec((128, 128), const),
-            pl.BlockSpec((bnA, khg), gmap),
-            pl.BlockSpec((bnA, kbg), gmap),
-            pl.BlockSpec((bnA, kbg), gmap),
-            pl.BlockSpec((bnD, khd), dmap),
-            pl.BlockSpec((bnD, kbd), dmap),
-            pl.BlockSpec((bnD, kbd), dmap),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, bnD),
                                lambda i: (0, jnp.maximum(i - nA, 0))),
         scratch_shapes=[
@@ -1427,7 +1655,7 @@ def mlp_fused(xp4: jax.Array, w_guf: "QuantLinear", w_down: "QuantLinear",
                                for a in arrays_g + arrays_d),
             transcendentals=Kd),
         interpret=interpret_default(interpret),
-    )(ab4, sc4, eye, *arrays_g, *arrays_d)
+    )(*consts, *arrays_g, *arrays_d)
     return out[:, :Nd].astype(out_dtype)
 
 
@@ -1437,7 +1665,8 @@ def mlp_fused(xp4: jax.Array, w_guf: "QuantLinear", w_down: "QuantLinear",
 
 def _qmatmul_pipelined(xp, ql, B, N, K, kb, block_n, out_dtype, interpret):
     """Dispatch for the software-pipelined kernel (see _pipe_kernel)."""
-    fields = _FIELDS[ql.fmt]
+    s6 = ql.fmt == "q4_k" and ql.enc == "s6"
+    fields = _fields(ql)
     Bp = max(8, -(-B // 8) * 8)
     if Bp != B:
         xp = jnp.pad(xp, ((0, Bp - B), (0, 0)))
@@ -1466,15 +1695,20 @@ def _qmatmul_pipelined(xp, ql, B, N, K, kb, block_n, out_dtype, interpret):
 
     in_specs = [pl.BlockSpec((Bp, K), lambda i: (0, 0))]
     for f in fields:
-        div = _lane_div(ql.fmt, f)
+        div = _lane_div(ql.fmt, f, s6)
         in_specs.append(pl.BlockSpec((bn, K // div), wmap))
+    operands = [xp, *arrays]
+    if s6:
+        edd = jnp.asarray(_dd_expand_np(K, ql.layout))
+        in_specs.append(pl.BlockSpec(edd.shape, lambda i: (0, 0)))
+        operands.append(edd)
 
     cp = dict(dimension_semantics=("arbitrary",))
     if vmem_bytes is not None:
         cp["vmem_limit_bytes"] = vmem_bytes
     out = pl.pallas_call(
         functools.partial(_pipe_kernel, fmt=ql.fmt, n_tiles=n_tiles,
-                          n_segs=_n_segs(K)),
+                          n_segs=_n_segs(K), s6=s6),
         out_shape=jax.ShapeDtypeStruct((Bp, Np), out_dtype),
         grid=(n_tiles + 1,),
         in_specs=in_specs,
@@ -1487,7 +1721,7 @@ def _qmatmul_pipelined(xp, ql, B, N, K, kb, block_n, out_dtype, interpret):
             bytes_accessed=sum(a.size * a.dtype.itemsize for a in arrays),
             transcendentals=0),
         interpret=interpret_default(interpret),
-    )(xp, *arrays)
+    )(*operands)
     return out[:B, :N]
 
 
@@ -1506,6 +1740,7 @@ def dequantize_jnp(ql: QuantLinear, dtype=jnp.float32) -> jax.Array:
         wp = es * (nib + 16.0 * h - 32.0)
         inv = jnp.asarray(_inv_perm_q6(ql.array_shape[1]))
         return wp[:, inv].astype(dtype)
+    ql = scales_to_e(ql)                    # s6 -> bf16 effective scales
     refs = {f: getattr(ql, f) for f in _FIELDS[ql.fmt]}
 
     class _A:  # adapt arrays to the ref[...] protocol used by the kernel

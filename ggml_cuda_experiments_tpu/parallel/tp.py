@@ -58,7 +58,7 @@ def _linear_spec(w, axis: int):
     if isinstance(w, QuantLinear):
         sub = P("model", None) if axis == 0 else P(None, "model")
         return QuantLinear(
-            fmt=w.fmt, shape=w.shape,
+            fmt=w.fmt, shape=w.shape, layout=w.layout, enc=w.enc,
             qs=sub,
             d=None if w.d is None else sub,
             es=None if w.es is None else sub,
@@ -122,7 +122,8 @@ def shard_quant_linear(w: np.ndarray, fmt: str, k_shards: int) -> QuantLinear:
         # K-concat axis: 1 for 2-D fields, 2 for the 'sub' payload layout
         return jnp.concatenate(vals, axis=vals[0].ndim - 1)
 
-    return QuantLinear(fmt=fmt, shape=(n, k), qs=cat("qs"), d=cat("d"),
+    return QuantLinear(fmt=fmt, shape=(n, k), enc=parts[0].enc,
+                       qs=cat("qs"), d=cat("d"),
                        es=cat("es"), em=cat("em"), qh=cat("qh"))
 
 

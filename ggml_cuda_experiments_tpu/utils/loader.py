@@ -33,7 +33,13 @@ import numpy as np
 from ggml_cuda_experiments_tpu.ops.quant_matmul import QuantLinear
 
 _MAGIC = b"GCTC"
-_VERSION = 2   # v2: q4 qs planes use the signed-friendly int8 packing
+# Format history (load_container fails with a clear message on any other
+# version — readers must not guess):
+#   v2: q4 qs planes use the signed-friendly int8 packing; quantized
+#       tensor names are "<path>#<fmt>[+<layout>]#NxK#<field>"
+#   v3: q4_k gains the "s6" streaming scale encoding (name token
+#       "q4_k~s6[+<layout>]", extra "d" field holding bf16 d|dmin)
+_VERSION = 3
 _DTYPES = {0: np.dtype(np.float32), 1: np.dtype(np.float16),
            2: np.dtype(ml_dtypes.bfloat16), 3: np.dtype(np.int8),
            4: np.dtype(np.uint8), 5: np.dtype(np.int32)}
@@ -122,8 +128,11 @@ def _flatten(prefix: str, node, out: dict[str, np.ndarray]) -> None:
             _flatten(f"{prefix}.{i}", sub, out)
     elif isinstance(node, QuantLinear):
         n, k = node.shape
-        fmt = (node.fmt if node.layout == "std"
-               else f"{node.fmt}+{node.layout}")
+        fmt = node.fmt
+        if getattr(node, "enc", "e") not in ("e", ""):
+            fmt = f"{fmt}~{node.enc}"
+        if node.layout != "std":
+            fmt = f"{fmt}+{node.layout}"
         base = f"{prefix}#{fmt}#{n}x{k}"
         for f in _QFIELDS:
             a = getattr(node, f)
@@ -178,9 +187,10 @@ def load_params(path, mesh=None, lazy: bool = True) -> dict[str, Any]:
         if "#" in name:
             prefix, fmt, shape_s, field = name.split("#")
             fmt, _, layout = fmt.partition("+")
+            fmt, _, enc = fmt.partition("~")
             q = quants.setdefault(prefix, {
-                "fmt": fmt, "layout": layout or "std", "shape": tuple(
-                    int(v) for v in shape_s.split("x"))})
+                "fmt": fmt, "layout": layout or "std", "enc": enc or "e",
+                "shape": tuple(int(v) for v in shape_s.split("x"))})
             q[field] = arr
         else:
             _set_path(tree, name, jax.numpy.asarray(arr))
@@ -188,6 +198,7 @@ def load_params(path, mesh=None, lazy: bool = True) -> dict[str, Any]:
     for prefix, q in quants.items():
         ql = QuantLinear(
             fmt=q["fmt"], shape=q["shape"], layout=q.get("layout", "std"),
+            enc=q.get("enc", "e"),
             qs=jnp.asarray(q["qs"]),
             d=jnp.asarray(q["d"]) if "d" in q else None,
             es=jnp.asarray(q["es"]) if "es" in q else None,

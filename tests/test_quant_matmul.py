@@ -17,8 +17,9 @@ FMTS = ["q8_0", "q4_0", "q4_k"]
 
 def _device_dequant_ref(fmt, t):
     """The device dequant contract: GGML semantics for q8_0/q4_0; the
-    Q4_K-E / Q6_K-E encodings (bf16 effective scales, see quant_matmul
-    docstring) for q4_k / q6_k."""
+    Q6_K-E encoding for q6_k; for q4_k, whichever encoding from_oracle's
+    auto rule selects — "s6" (f32 = bf16(d) * exact 6-bit sc, in-kernel
+    decode) when K % 4096 == 0, else "e" (pre-expanded bf16(d*sc))."""
     import ml_dtypes
     if fmt == "q6_k":
         n, k = t.shape
@@ -28,11 +29,18 @@ def _device_dequant_ref(fmt, t):
         return (q * es[..., None]).reshape(n, k)
     if fmt != "q4_k":
         return quant_ref.FORMATS[fmt][1](t)
-    es, em = qm.q4_k_effective(t)
     n, k = t.shape
+    if k % 4096 == 0:                    # s6 streaming encoding
+        dbf = t.d.astype(ml_dtypes.bfloat16).astype(np.float32)
+        dmbf = t.dmin.astype(ml_dtypes.bfloat16).astype(np.float32)
+        es = np.repeat(dbf, 8, -1) * t.sc.astype(np.float32)
+        em = np.repeat(dmbf, 8, -1) * t.mn.astype(np.float32)
+    else:                                # Q4_K-E
+        es, em = qm.q4_k_effective(t)
+        es = es.astype(np.float32)
+        em = em.astype(np.float32)
     q = quant_ref.unpack_nibbles(t.qs.reshape(n, k // 32, 16)).astype(np.float32)
-    return (q * es.astype(np.float32)[..., None]
-            - em.astype(np.float32)[..., None]).reshape(n, k)
+    return (q * es[..., None] - em[..., None]).reshape(n, k)
 
 
 @pytest.mark.parametrize("fmt", FMTS)
