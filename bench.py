@@ -142,9 +142,10 @@ def decode_bench(model: str = "tinyllama-1.1b", fmt: str = "q4_k",
     import dataclasses as _dc
     cfg = _dc.replace(PRESETS[model],
                       x_quant8="--exact" not in sys.argv)
-    # v5: q4_k s6 streaming scale encoding (the encoding/layout is baked
-    # into the cached device arrays, so the key must change with it)
-    ckpt = f"/tmp/bench_ckpt_{model}_{fmt}_v5.gctc"
+    # v6: Q4_K-E default restored (s6 measured slower on-chip; the
+    # encoding/layout is baked into the cached device arrays, so the key
+    # must change with it)
+    ckpt = f"/tmp/bench_ckpt_{model}_{fmt}_v6.gctc"
     t0 = _t.perf_counter()
     if os.path.exists(ckpt):
         log(f"loading cached checkpoint {ckpt}...")

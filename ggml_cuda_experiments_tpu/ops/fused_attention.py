@@ -53,7 +53,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ggml_cuda_experiments_tpu.ops.quant_matmul import (
     QuantLinear, _block_sums, _chunk8_compute, _dd_expand_np,
-    _decode_es_em_s6, _quant_rows_blockwise, chunk8_plan,
+    _decode_es_em_s6, _eye_sm_np, _quant_rows_blockwise, chunk8_plan,
     permute_activations, QK_K,
 )
 from ggml_cuda_experiments_tpu.utils.platform import interpret_default
@@ -85,16 +85,27 @@ def _fused_attn_kernel(
     ab_ref, sc2_ref, eye_ref = next(it), next(it), next(it)
     eddq_ref = next(it) if s6q else None
     eddw_ref = next(it) if s6w else None
-    qqs_ref, qes_ref, qem_ref = next(it), next(it), next(it)
-    qdd_ref = next(it) if s6q else None
+    # one shared int8 eye for both weights' sm eye-dot (KQ == KW == dim)
+    eyesm_ref = next(it) if (s6q or s6w) else None
+    qem_ref = qdd_ref = wem_any = wdd_any = None
+    if s6q:
+        qqs_ref, qes_ref, qdd_ref = next(it), next(it), next(it)
+    else:
+        qqs_ref, qes_ref, qem_ref = next(it), next(it), next(it)
     k_any, v_any = next(it), next(it)
-    wqs_any, wes_any, wem_any = next(it), next(it), next(it)
-    wdd_any = next(it) if s6w else None
+    if s6w:
+        wqs_any, wes_any, wdd_any = next(it), next(it), next(it)
+    else:
+        wqs_any, wes_any, wem_any = next(it), next(it), next(it)
     o_ref, kn_ref, vn_ref = next(it), next(it), next(it)
     yqkv, qt, eas, ebs, scs = (next(it) for _ in range(5))
     m_scr, l_scr, acc_scr, ofin = (next(it) for _ in range(4))
-    kbuf, vbuf, woq, woes, woem = (next(it) for _ in range(5))
-    wodd = next(it) if s6w else None
+    kbuf, vbuf, woq, woes = (next(it) for _ in range(4))
+    woem = wodd = None
+    if s6w:
+        wodd = next(it)
+    else:
+        woem = next(it)
     kv_sem, wo_sem = it
 
     i = pl.program_id(0)
@@ -116,13 +127,10 @@ def _fused_attn_kernel(
                 pltpu.make_async_copy(src_v, vbuf.at[slot], kv_sem.at[1, slot]))
 
     def wo_copies():
-        copies = [pltpu.make_async_copy(wqs_any, woq, wo_sem.at[0]),
-                  pltpu.make_async_copy(wes_any, woes, wo_sem.at[1]),
-                  pltpu.make_async_copy(wem_any, woem, wo_sem.at[2])]
-        if s6w:
-            copies.append(pltpu.make_async_copy(wdd_any, wodd,
-                                                wo_sem.at[3]))
-        return copies
+        third = ((wdd_any, wodd) if s6w else (wem_any, woem))
+        return [pltpu.make_async_copy(wqs_any, woq, wo_sem.at[0]),
+                pltpu.make_async_copy(wes_any, woes, wo_sem.at[1]),
+                pltpu.make_async_copy(third[0], third[1], wo_sem.at[2])]
 
     @pl.when(i == 0)
     def _prologue():
@@ -136,7 +144,8 @@ def _fused_attn_kernel(
     @pl.when(i < nQ)
     def _qkv_phase():
         if s6q:
-            es, em = _decode_es_em_s6(qes_ref, qem_ref, qdd_ref, eddq_ref)
+            es, em = _decode_es_em_s6(qes_ref, qdd_ref, eddq_ref,
+                                      eyesm_ref)
         else:
             es = qes_ref[...].astype(jnp.float32)
             em = qem_ref[...].astype(jnp.float32)
@@ -272,7 +281,7 @@ def _fused_attn_kernel(
         for c in wo_copies():
             c.wait()
         if s6w:
-            es, em = _decode_es_em_s6(woes, woem, wodd, eddw_ref)
+            es, em = _decode_es_em_s6(woes, wodd, eddw_ref, eyesm_ref)
         else:
             es = woes[...].astype(jnp.float32)
             em = woem[...].astype(jnp.float32)
@@ -413,19 +422,28 @@ def attention_fused(
         eddw = jnp.asarray(_dd_expand_np(KW, wo.layout))
         in_specs.append(pl.BlockSpec(eddw.shape, cmap))
         operands.append(eddw)
-    in_specs += [
-        pl.BlockSpec((bnQ, KQ // 2), qmap),          # wqkv qs
-        pl.BlockSpec((bnQ, kb), qmap),               # wqkv es/sc6
-        pl.BlockSpec((bnQ, kb), qmap),               # wqkv em/mn6
-    ]
-    operands += [wqkv.qs, wqkv.es, wqkv.em]
+    if s6q or s6w:
+        assert KQ == KW
+        eyesm = jnp.asarray(_eye_sm_np(2 * kb))
+        in_specs.append(pl.BlockSpec(eyesm.shape, cmap))
+        operands.append(eyesm)
     if s6q:
-        in_specs.append(pl.BlockSpec((bnQ, KQ // QK_K * 2), qmap))
-        operands.append(wqkv.d)                      # wqkv dd
-    in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * (6 if s6w else 5)
-    operands += [k_cache, v_cache, wo.qs, wo.es, wo.em]
-    if s6w:
-        operands.append(wo.d)
+        in_specs += [
+            pl.BlockSpec((bnQ, KQ // 2), qmap),      # wqkv qs
+            pl.BlockSpec((bnQ, 2 * kb), qmap),       # wqkv sm (sc|mn)
+            pl.BlockSpec((bnQ, KQ // QK_K * 2), qmap),   # wqkv dd
+        ]
+        operands += [wqkv.qs, wqkv.es, wqkv.d]
+    else:
+        in_specs += [
+            pl.BlockSpec((bnQ, KQ // 2), qmap),      # wqkv qs
+            pl.BlockSpec((bnQ, kb), qmap),           # wqkv es
+            pl.BlockSpec((bnQ, kb), qmap),           # wqkv em
+        ]
+        operands += [wqkv.qs, wqkv.es, wqkv.em]
+    in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 5
+    operands += [k_cache, v_cache, wo.qs, wo.es,
+                 wo.d if s6w else wo.em]
 
     scratch = [
         pltpu.VMEM((1, NQ), jnp.float32),            # yqkv
@@ -440,15 +458,20 @@ def attention_fused(
         pltpu.VMEM((2, kh_pg, bk, D), cache_dtype),  # kbuf
         pltpu.VMEM((2, kh_pg, bk, D), cache_dtype),  # vbuf
         pltpu.VMEM((NW, KW // 2), jnp.int8),         # wo qs resident
-        pltpu.VMEM((NW, KW // 32), wo.es.dtype),     # wo es resident
-        pltpu.VMEM((NW, KW // 32), wo.em.dtype),     # wo em resident
     ]
     if s6w:
-        scratch.append(
-            pltpu.VMEM((NW, KW // QK_K * 2), wo.d.dtype))   # wo dd
+        scratch += [
+            pltpu.VMEM((NW, 2 * (KW // 32)), jnp.int8),      # wo sm
+            pltpu.VMEM((NW, KW // QK_K * 2), wo.d.dtype),    # wo dd
+        ]
+    else:
+        scratch += [
+            pltpu.VMEM((NW, KW // 32), wo.es.dtype),         # wo es
+            pltpu.VMEM((NW, KW // 32), wo.em.dtype),         # wo em
+        ]
     scratch += [
         pltpu.SemaphoreType.DMA((2, 2)),             # kv sems
-        pltpu.SemaphoreType.DMA((4 if s6w else 3,)),  # wo sems
+        pltpu.SemaphoreType.DMA((3,)),               # wo sems
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

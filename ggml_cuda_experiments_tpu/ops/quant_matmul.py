@@ -41,28 +41,35 @@ Q4_K device encodings
 ---------------------
 Two scale encodings exist, selected by ``QuantLinear.enc``:
 
-``enc="s6"`` (default for K % 4096 == 0 — every 7B-class shape): the
-GGML-faithful *streaming* encoding. Per row it stores the 6-bit
-sub-scales/mins one byte each (``es``/``em`` int8 [N, K/32], values 0..63)
-plus the fp16 superblock scales rounded to bf16 (``d`` [N, 2*K/256]:
-d-half then dmin-half, LOGICAL superblock order) — 18.5 bytes per 32
-weights = **4.625 bits/weight** streamed, vs GGML's 4.5 wire bits and the
-old pre-expanded encoding's 5.0. The effective per-32-block scales are
-reconstructed IN-KERNEL as one bf16 MXU dot with a constant one-hot
-superblock-expansion matrix ``E_dd[s, r] = 1 iff perm32[r] // 8 == s``
-(so the trick is layout-agnostic: std, segment-local and wof orders all
-just change perm32), then two VPU multiplies:
-``es = (d @ E_d) * sc6``, ``em = (dmin @ E_d) * mn6``. The expansion dot
-is N*K/4 MACs — three orders below the payload selector dots. This is the
-hot-loop-minimalism rule of the reference (pay layout cost once so the
-hot loop streams the minimum, /root/reference/src/flash_row_float.h:176-177)
-applied to the scale stream itself. bf16 rounding of d is ~0.4%, an order
-below the 4-bit quantization step.
+``enc="e"`` ("Q4_K-E", the DEFAULT and performance encoding): sub-scales
+folded at load time into per-32-block effective scales
+``es = bf16(f32(d)*sc)`` and mins ``em = bf16(f32(dmin)*mn)`` — 5.0
+bits/weight streamed, superblock-free kernel.
 
-``enc="e"`` ("Q4_K-E", kept for K % 4096 != 0): sub-scales folded at load
-time into per-32-block effective scales ``es = bf16(f32(d)*sc)`` and mins
-``em = bf16(f32(dmin)*mn)`` — 5.0 bits/weight streamed, superblock-free
-kernel.
+``enc="s6"`` (OPT-IN storage/wire encoding, K % 4096 == 0 only): the
+GGML-faithful compact encoding. Per row it stores the 6-bit
+sub-scales/mins one byte each, lane-concatenated into ONE int8 array
+(``es`` [N, 2*K/32]: sc-half then mn-half, values 0..63) plus the fp16
+superblock scales rounded to bf16 (``d`` [N, 2*K/256]: d-half then
+dmin-half, LOGICAL superblock order) — 18.5 bytes per 32 weights =
+**4.625 bits/weight** stored, vs GGML's 4.5 wire bits and Q4_K-E's 5.0.
+Every q4 kernel decodes it in-kernel (effective scales via a bf16 dot
+with the constant one-hot superblock-expansion matrix
+``E_dd[s, r] = 1 iff perm32[r]//8 == s`` — layout-agnostic: std,
+segment-local and wof orders just change perm32 — then an int8 upcast
+and one [bn, 2*kb] multiply; bf16 rounding of d is ~0.4%, an order below
+the 4-bit quantization step).
+
+**Why s6 is not the streaming default** (measured dead end, v5e,
+tools/probe_s6.py, same-day bracketed): the 7.5% HBM byte saving is
+worth ~5.9 us/Diter at the bench shape, but every decode lowering costs
+more than that on the hot path — "cast" (VPU int8 upcast) +9.1 us,
+"eyedot" (MXU eye-dot upcast) +16.4 us, "constdd" (whole-array dd
+const + in-kernel slice) +17.8 us; even streaming the s6 operands with
+NO decode math at all ("ones") is +4.3 us, i.e. the skinny [bn, 2S]
+bf16 dd side-channel and the extra windowed operand alone eat the
+saving. Use s6 for checkpoint/interchange size and expand once at load
+(``scales_to_e``) when serving.
 
 Either way the min/offset terms never touch the weights: they contribute
 ``sum_b em[n,b] * xs[b]`` with xs the per-block sums of x, computed
@@ -341,7 +348,7 @@ _FIELDS = {
     "q4_k": ("qs", "es", "em"),
     "q6_k": ("qs", "qh", "es"),
 }
-_FIELDS_S6 = ("qs", "es", "em", "d")     # q4_k streaming encoding
+_FIELDS_S6 = ("qs", "es", "d")    # q4_k streaming: es = sc|mn combined
 
 
 def _fields(ql: "QuantLinear") -> tuple[str, ...]:
@@ -358,6 +365,8 @@ def _lane_div(fmt: str, field: str, s6: bool = False) -> int:
         return {"qh": 4, "es": 16}[field]
     if s6 and field == "d":
         return QK_K // 2          # [N, 2*K/256]: d-half then dmin-half
+    if s6 and field == "es":
+        return QK // 2            # [N, 2*K/32]: sc-half then mn-half
     return QK        # d / es / em of the 32-block formats
 
 
@@ -379,17 +388,50 @@ def _dd_expand_np(k: int, layout: str = "std") -> np.ndarray:
     return e
 
 
-def _decode_es_em_s6(sc6_ref, mn6_ref, dd_ref, edd_ref):
+@functools.cache
+def _eye_sm_np(kb2: int) -> np.ndarray:
+    """int8 identity for the s6 eye-dot upcast (see module docstring)."""
+    return np.eye(kb2, dtype=np.int8)
+
+
+# Probe hook (tools/probe_s6.py): selects the s6 decode lowering so the
+# cost of each stage can be measured in isolation on the chip. "cast" is
+# the best measured lowering (97.7 us/Diter vs eyedot 105.0, constdd
+# 106.4 at the bench shape); "ddonly"/"ones" produce WRONG scales and
+# exist only for ablation. Change + qmatmul.clear_cache() to retrace.
+S6_DECODE_VARIANT = "cast"
+
+
+def _decode_es_em_s6(sm_ref, dd_ref, edd_ref, eye_ref):
     """In-kernel s6 scale decode -> (es, em) f32 [bn, kb].
-    sc6/mn6: int8 refs [bn, kb]; dd: bf16 ref [bn, 2S]; edd: bf16
-    constant ref [2S, 2*kb] (see _dd_expand_np). kb must be 128-aligned
-    (guaranteed: s6 is only produced for K % 4096 == 0)."""
-    z = jax.lax.dot(dd_ref[...], edd_ref[...],
-                    preferred_element_type=jnp.float32)   # [bn, 2kb]
-    kb = z.shape[1] // 2
-    es = z[:, :kb] * sc6_ref[...].astype(jnp.int32).astype(jnp.float32)
-    em = z[:, kb:] * mn6_ref[...].astype(jnp.int32).astype(jnp.float32)
-    return es, em
+    sm: int8 ref [bn, 2*kb] (sc-half | mn-half); dd: bf16 ref [bn, 2S];
+    edd: bf16 constant [2S, 2*kb] (see _dd_expand_np); eye: int8
+    constant [2*kb, 2*kb]. kb must be 128-aligned (guaranteed: s6 is
+    only produced for K % 4096 == 0). The int8 values reach f32 through
+    an MXU eye-dot + same-width int32 cast — a direct VPU int8->f32
+    upcast is a sub-byte relayout that measured ~13% of the HBM roofline
+    on the chunk8 matvec."""
+    bn = sm_ref.shape[0]
+    if dd_ref.shape[0] != bn:          # const whole-array dd ("constdd")
+        dd = dd_ref[pl.ds(pl.program_id(0) * bn, bn), :]
+    else:
+        dd = dd_ref[...]
+    zdd = jax.lax.dot(dd, edd_ref[...],
+                      preferred_element_type=jnp.float32)   # [bn, 2kb]
+    kb = zdd.shape[1] // 2
+    if S6_DECODE_VARIANT == "ones":          # DMA only, no sm use (probe)
+        es = zdd[:, :kb] * 0.0 + 1.0
+        return es, es
+    if S6_DECODE_VARIANT == "ddonly":        # skip the sm product (probe)
+        return zdd[:, :kb], zdd[:, kb:]
+    if S6_DECODE_VARIANT in ("cast", "constdd"):   # direct VPU upcast
+        smf = sm_ref[...].astype(jnp.int32).astype(jnp.float32)
+        prod = zdd * smf
+        return prod[:, :kb], prod[:, kb:]
+    zsm = jax.lax.dot(sm_ref[...], eye_ref[...],
+                      preferred_element_type=jnp.int32)     # [bn, 2kb]
+    prod = zdd * zsm.astype(jnp.float32)
+    return prod[:, :kb], prod[:, kb:]
 
 
 def _pack_halves(q_dev: np.ndarray) -> np.ndarray:
@@ -445,18 +487,30 @@ def from_oracle(t, layout: str = "std", enc: str = "auto") -> QuantLinear:
         q = quant_ref.unpack_nibbles(
             t.qs.reshape(n, k // QK, QK // 2)).reshape(n, k)
         if enc == "auto":
-            enc = "s6" if k % (128 * QK) == 0 else "e"
+            # "e" is the PERFORMANCE default: a same-day on-chip ablation
+            # (tools/probe_s6.py, v5e, bracketed against drift) showed
+            # every s6 decode lowering costs more per matvec than its
+            # 7.5% byte saving returns — best s6 97.7 us/Diter vs e
+            # 88.6 (85.9% roofline); merely adding the skinny [bn, 2S]
+            # dd operand + expansion dot costs ~4-8 us before any sm
+            # math. s6 remains the opt-in STORAGE encoding (smaller
+            # checkpoints; expand with scales_to_e at load for e-speed).
+            enc = "e"
+        if enc == "s6" and k % (128 * QK) != 0:
+            enc = "e"                        # s6 needs kb % 128 == 0
         if enc == "s6":
-            # streaming encoding: raw 6-bit sc/mn one byte each (lane
-            # order), bf16 superblock d|dmin in LOGICAL order (the
-            # in-kernel E_dd dot owns the lane mapping)
+            # streaming encoding: raw 6-bit sc/mn one byte each, lane-
+            # concatenated (sc-half | mn-half, lane order), bf16
+            # superblock d|dmin in LOGICAL order (the in-kernel E_dd dot
+            # owns the lane mapping)
+            sm = np.concatenate([t.sc[:, p32], t.mn[:, p32]],
+                                axis=1).astype(np.int8)
             dd = np.concatenate([t.d, t.dmin], axis=1
                                 ).astype(ml_dtypes.bfloat16)
             return QuantLinear(
                 fmt="q4_k", shape=(n, k), layout=layout, enc="s6",
                 qs=jnp.asarray(_pack_halves(q[:, p])),
-                es=jnp.asarray(t.sc[:, p32].astype(np.int8)),
-                em=jnp.asarray(t.mn[:, p32].astype(np.int8)),
+                es=jnp.asarray(sm),
                 d=jnp.asarray(dd))
         es, em = q4_k_effective(t)
         return QuantLinear(
@@ -502,6 +556,7 @@ def scales_to_e(ql: QuantLinear) -> QuantLinear:
     if not (ql.fmt == "q4_k" and ql.enc == "s6"):
         return ql
     n, k = ql.array_shape
+    kb = k // QK
     s_tot = k // QK_K
     sb = jnp.asarray(
         np.asarray(_layout_perms(k, ql.layout)[1]) // 8)   # [kb]
@@ -510,8 +565,8 @@ def scales_to_e(ql: QuantLinear) -> QuantLinear:
     # f32 products, NOT re-rounded to bf16: the expansion must agree
     # bit-for-bit with the in-kernel s6 decode (f32 = f32(bf16 d) * sc6)
     # so every dispatch path of one weight computes identical scales
-    es = d * ql.es.astype(jnp.float32)
-    em = dm * ql.em.astype(jnp.float32)
+    es = d * ql.es[:, :kb].astype(jnp.float32)
+    em = dm * ql.es[:, kb:].astype(jnp.float32)
     return QuantLinear(fmt="q4_k", shape=ql.shape, layout=ql.layout,
                        enc="e", qs=ql.qs, es=es, em=em)
 
@@ -598,15 +653,16 @@ def _chunk_kernel(*refs, fmt: str, n_chunks: int, n_segs: int = 1,
     /root/reference/src/flash_row_float.h:191-198,429-471) applied to the
     dequant dot: partial per chunk, cheap merge at block granularity."""
     if s6:
-        (a_ref, b_ref, sc_ref, edd_ref, qs_ref, s1_ref, s2_ref, dd_ref,
+        (a_ref, b_ref, sc_ref, edd_ref, eye_ref, qs_ref, sm_ref, dd_ref,
          o_ref) = refs
+        s1_ref = s2_ref = None
     else:
         a_ref, b_ref, sc_ref, qs_ref, s1_ref, s2_ref, o_ref = refs
     p = qs_ref[...]                                   # [bn, K/2] int8
     pf = p.astype(jnp.float32)
     hi = jnp.floor(pf * 0.0625 + 8.0)
     t = pf * a_ref[...] + hi * b_ref[...]             # [bn, K/2]
-    kb = s1_ref.shape[1]
+    kb = sm_ref.shape[1] // 2 if s6 else s1_ref.shape[1]
     if n_segs > 1:
         # segment-local layout: byte-lane j's block is (j//2048)*128 +
         # j mod 128, so fold each segment's 2048 lanes onto its own 128
@@ -624,7 +680,7 @@ def _chunk_kernel(*refs, fmt: str, n_chunks: int, n_segs: int = 1,
         for s in range(1, n_chunks):    # serial fold (tree measured slower)
             z = z + t[:, s * kb:(s + 1) * kb]
     if s6:
-        es, em = _decode_es_em_s6(s1_ref, s2_ref, dd_ref, edd_ref)
+        es, em = _decode_es_em_s6(sm_ref, dd_ref, edd_ref, eye_ref)
     else:
         es = s1_ref[...].astype(jnp.float32)
         em = (8.0 * es if fmt == "q4_0"
@@ -767,7 +823,7 @@ def _dequant_halves(fmt: str, refs, rep, n_segs: int = 1):
         return (lo - 8.0) * s_half, (hi - 8.0) * s_half
     if "edd" in refs:                        # q4_k s6 streaming encoding
         es_kb, em_kb = _decode_es_em_s6(
-            refs["es"], refs["em"], refs["d"], refs["edd"])
+            refs["es"], refs["d"], refs["edd"], refs["eye"])
         es = rep(es_kb, QK // 2)
         em = rep(em_kb, QK // 2)
     else:
@@ -777,14 +833,16 @@ def _dequant_halves(fmt: str, refs, rep, n_segs: int = 1):
 
 
 def _unpack_w_refs(refs, fmt: str, s6: bool):
-    """(x_ref, w_refs dict incl. optional edd, next_index) for the
-    kernels whose operand list is [x, *weight_fields, edd?, out, ...]."""
+    """(x_ref, w_refs dict incl. optional edd/eye, next_index) for the
+    kernels whose operand list is [x, *weight_fields, edd?, eye?,
+    out, ...]."""
     names = _FIELDS_S6 if s6 else _FIELDS[fmt]
     w_refs = dict(zip(names, refs[1:1 + len(names)]))
     idx = 1 + len(names)
     if s6:
         w_refs["edd"] = refs[idx]
-        idx += 1
+        w_refs["eye"] = refs[idx + 1]
+        idx += 2
     return refs[0], w_refs, idx
 
 
@@ -1004,8 +1062,10 @@ def qmatmul(
             operands = [xp, *arrays]
             if s6:
                 edd = jnp.asarray(_dd_expand_np(K, ql.layout))
-                in_specs.append(pl.BlockSpec(edd.shape, lambda n: (0, 0)))
-                operands.append(edd)
+                eye = jnp.asarray(_eye_sm_np(2 * kb))
+                in_specs += [pl.BlockSpec(edd.shape, lambda n: (0, 0)),
+                             pl.BlockSpec(eye.shape, lambda n: (0, 0))]
+                operands += [edd, eye]
             out = pl.pallas_call(
                 functools.partial(_vpu2_kernel, fmt=ql.fmt,
                                   n_segs=_n_segs(K), s6=s6),
@@ -1054,8 +1114,10 @@ def qmatmul(
     operands = [xp, *arrays]
     if s6:
         edd = jnp.asarray(_dd_expand_np(K, ql.layout))
-        in_specs.append(pl.BlockSpec(edd.shape, lambda n: (0, 0)))
-        operands.append(edd)
+        eye = jnp.asarray(_eye_sm_np(2 * kb))
+        in_specs += [pl.BlockSpec(edd.shape, lambda n: (0, 0)),
+                     pl.BlockSpec(eye.shape, lambda n: (0, 0))]
+        operands += [edd, eye]
 
     out = pl.pallas_call(
         functools.partial(_mxu_kernel, fmt=ql.fmt,
@@ -1123,9 +1185,9 @@ def _chunk8_kernel(*refs, fmt: str, n_segs: int = 1,
     Mosaic's default ~16 MB scoped-VMEM limit: raised via
     compiler_params (see _qmatmul_chunk8)."""
     if s6:
-        (ea_ref, eb_ref, sc_ref, edd_ref, qs_ref, s1_ref, s2_ref, dd_ref,
+        (ea_ref, eb_ref, sc_ref, edd_ref, eye_ref, qs_ref, sm_ref, dd_ref,
          o_ref) = refs
-        es, em = _decode_es_em_s6(s1_ref, s2_ref, dd_ref, edd_ref)
+        es, em = _decode_es_em_s6(sm_ref, dd_ref, edd_ref, eye_ref)
     else:
         ea_ref, eb_ref, sc_ref, qs_ref, s1_ref, s2_ref, o_ref = refs
         es = s1_ref[...].astype(jnp.float32)
@@ -1313,8 +1375,6 @@ def _qmatmul_chunk8(xp, ql, N, K, kb, block_n, out_dtype, interpret):
     c = 8.0 * _block_sums(xh, kb, segs)
     xs = _block_sums(xl + xh, kb, segs)
     sc = jnp.stack([c, xs, sa, sb])                   # [4, Kb] f32
-    s1 = arrays[1]
-    s2 = arrays[2] if len(arrays) > 2 else arrays[1]
     cp = dict(dimension_semantics=("arbitrary",))
     if vmem_bytes is not None:
         cp["vmem_limit_bytes"] = vmem_bytes
@@ -1328,17 +1388,23 @@ def _qmatmul_chunk8(xp, ql, N, K, kb, block_n, out_dtype, interpret):
     operands = [ea, eb, sc]
     if s6:
         edd = jnp.asarray(_dd_expand_np(K, ql.layout))
-        in_specs.append(pl.BlockSpec(edd.shape, const))
-        operands.append(edd)
-    in_specs += [
-        pl.BlockSpec((bn, kh), tile),
-        pl.BlockSpec((bn, kb), tile),
-        pl.BlockSpec((bn, kb), tile),
-    ]
-    operands += [arrays[0], s1, s2]
-    if s6:
-        in_specs.append(pl.BlockSpec((bn, K // QK_K * 2), tile))
-        operands.append(arrays[3])                    # dd
+        eye = jnp.asarray(_eye_sm_np(2 * kb))
+        dd_spec = (pl.BlockSpec((Np, K // QK_K * 2), const)
+                   if S6_DECODE_VARIANT == "constdd"
+                   else pl.BlockSpec((bn, K // QK_K * 2), tile))
+        in_specs += [pl.BlockSpec(edd.shape, const),
+                     pl.BlockSpec(eye.shape, const),
+                     pl.BlockSpec((bn, kh), tile),
+                     pl.BlockSpec((bn, 2 * kb), tile),
+                     dd_spec]
+        operands += [edd, eye, *arrays]               # qs, sm, dd
+    else:
+        s1 = arrays[1]
+        s2 = arrays[2] if len(arrays) > 2 else arrays[1]
+        in_specs += [pl.BlockSpec((bn, kh), tile),
+                     pl.BlockSpec((bn, kb), tile),
+                     pl.BlockSpec((bn, kb), tile)]
+        operands += [arrays[0], s1, s2]
     out = pl.pallas_call(
         functools.partial(_chunk8_kernel, fmt=ql.fmt, n_segs=segs,
                           splits=splits, s6=s6),
@@ -1378,8 +1444,6 @@ def _qmatmul_chunk(xp, ql, N, K, kb, block_n, out_dtype, interpret):
     c = 128.0 * _block_sums(xl, kb, segs)
     xs = _block_sums(xl + xh, kb, segs)
     sc = jnp.stack([c, xs])                            # [2, Kb]
-    s1 = arrays[1]
-    s2 = arrays[2] if len(arrays) > 2 else arrays[1]
     const = lambda n: (0, 0)
     tile = lambda n: (n, 0)
     in_specs = [
@@ -1390,17 +1454,20 @@ def _qmatmul_chunk(xp, ql, N, K, kb, block_n, out_dtype, interpret):
     operands = [a, bvec, sc]
     if s6:
         edd = jnp.asarray(_dd_expand_np(K, ql.layout))
-        in_specs.append(pl.BlockSpec(edd.shape, const))
-        operands.append(edd)
-    in_specs += [
-        pl.BlockSpec((bn, kh), tile),
-        pl.BlockSpec((bn, kb), tile),
-        pl.BlockSpec((bn, kb), tile),
-    ]
-    operands += [arrays[0], s1, s2]
-    if s6:
-        in_specs.append(pl.BlockSpec((bn, K // QK_K * 2), tile))
-        operands.append(arrays[3])                     # dd
+        eye = jnp.asarray(_eye_sm_np(2 * kb))
+        in_specs += [pl.BlockSpec(edd.shape, const),
+                     pl.BlockSpec(eye.shape, const),
+                     pl.BlockSpec((bn, kh), tile),
+                     pl.BlockSpec((bn, 2 * kb), tile),
+                     pl.BlockSpec((bn, K // QK_K * 2), tile)]
+        operands += [edd, eye, *arrays]                # qs, sm, dd
+    else:
+        s1 = arrays[1]
+        s2 = arrays[2] if len(arrays) > 2 else arrays[1]
+        in_specs += [pl.BlockSpec((bn, kh), tile),
+                     pl.BlockSpec((bn, kb), tile),
+                     pl.BlockSpec((bn, kb), tile)]
+        operands += [arrays[0], s1, s2]
     out = pl.pallas_call(
         functools.partial(_chunk_kernel, fmt=ql.fmt, n_chunks=kh // kb,
                           n_segs=segs, s6=s6),
@@ -1444,12 +1511,20 @@ def _fused_mlp_kernel(*refs,
     operands and write the output."""
     it = iter(refs)
     ab4_ref, sc4_ref, eye_ref = next(it), next(it), next(it)
-    eddg_ref = next(it) if s6g else None
-    eddd_ref = next(it) if s6d else None
-    gqs_ref, ges_ref, gem_ref = next(it), next(it), next(it)
-    gdd_ref = next(it) if s6g else None
-    dqs_ref, des_ref, dem_ref = next(it), next(it), next(it)
-    ddd_ref = next(it) if s6d else None
+    eddg_ref = eyeg_ref = eddd_ref = eyed_ref = None
+    gdd_ref = ddd_ref = gem_ref = dem_ref = None
+    if s6g:
+        eddg_ref, eyeg_ref = next(it), next(it)
+    if s6d:
+        eddd_ref, eyed_ref = next(it), next(it)
+    if s6g:
+        gqs_ref, ges_ref, gdd_ref = next(it), next(it), next(it)
+    else:
+        gqs_ref, ges_ref, gem_ref = next(it), next(it), next(it)
+    if s6d:
+        dqs_ref, des_ref, ddd_ref = next(it), next(it), next(it)
+    else:
+        dqs_ref, des_ref, dem_ref = next(it), next(it), next(it)
     o_ref, ygu, ea4, eb4, ead, ebd, scd = it
 
     i = pl.program_id(0)
@@ -1472,7 +1547,7 @@ def _fused_mlp_kernel(*refs,
     @pl.when(i < nA)
     def _gu():
         if s6g:
-            es, em = _decode_es_em_s6(ges_ref, gem_ref, gdd_ref, eddg_ref)
+            es, em = _decode_es_em_s6(ges_ref, gdd_ref, eddg_ref, eyeg_ref)
         else:
             es = ges_ref[...].astype(jnp.float32)
             em = gem_ref[...].astype(jnp.float32)
@@ -1521,7 +1596,7 @@ def _fused_mlp_kernel(*refs,
     @pl.when(i >= nA)
     def _down():
         if s6d:
-            es, em = _decode_es_em_s6(des_ref, dem_ref, ddd_ref, eddd_ref)
+            es, em = _decode_es_em_s6(des_ref, ddd_ref, eddd_ref, eyed_ref)
         else:
             es = des_ref[...].astype(jnp.float32)
             em = dem_ref[...].astype(jnp.float32)
@@ -1590,12 +1665,10 @@ def mlp_fused(xp4: jax.Array, w_guf: "QuantLinear", w_down: "QuantLinear",
 
     s6g = w_guf.enc == "s6"
     s6d = w_down.enc == "s6"
-    arrays_g = [w_guf.qs, w_guf.es, w_guf.em]
-    if s6g:
-        arrays_g.append(w_guf.d)
-    arrays_d = [padN(w_down.qs), padN(w_down.es), padN(w_down.em)]
-    if s6d:
-        arrays_d.append(padN(w_down.d))
+    arrays_g = ([w_guf.qs, w_guf.es, w_guf.d] if s6g
+                else [w_guf.qs, w_guf.es, w_guf.em])
+    arrays_d = ([padN(w_down.qs), padN(w_down.es), padN(w_down.d)] if s6d
+                else [padN(w_down.qs), padN(w_down.es), padN(w_down.em)])
 
     gmap = lambda i: (jnp.minimum(i, nA - 1), 0)
     dmap = lambda i: (jnp.maximum(i - nA, 0), 0)
@@ -1608,26 +1681,26 @@ def mlp_fused(xp4: jax.Array, w_guf: "QuantLinear", w_down: "QuantLinear",
     consts = [ab4, sc4, eye]
     if s6g:
         eddg = jnp.asarray(_dd_expand_np(Kg, w_guf.layout))
-        in_specs.append(pl.BlockSpec(eddg.shape, const))
-        consts.append(eddg)
+        eyeg = jnp.asarray(_eye_sm_np(2 * kbg))
+        in_specs += [pl.BlockSpec(eddg.shape, const),
+                     pl.BlockSpec(eyeg.shape, const)]
+        consts += [eddg, eyeg]
     if s6d:
         eddd = jnp.asarray(_dd_expand_np(Kd, w_down.layout))
-        in_specs.append(pl.BlockSpec(eddd.shape, const))
-        consts.append(eddd)
+        eyed = jnp.asarray(_eye_sm_np(2 * kbd))
+        in_specs += [pl.BlockSpec(eddd.shape, const),
+                     pl.BlockSpec(eyed.shape, const)]
+        consts += [eddd, eyed]
     in_specs += [
         pl.BlockSpec((bnA, khg), gmap),
-        pl.BlockSpec((bnA, kbg), gmap),
-        pl.BlockSpec((bnA, kbg), gmap),
+        pl.BlockSpec((bnA, 2 * kbg if s6g else kbg), gmap),
+        pl.BlockSpec((bnA, Kg // QK_K * 2 if s6g else kbg), gmap),
     ]
-    if s6g:
-        in_specs.append(pl.BlockSpec((bnA, Kg // QK_K * 2), gmap))
     in_specs += [
         pl.BlockSpec((bnD, khd), dmap),
-        pl.BlockSpec((bnD, kbd), dmap),
-        pl.BlockSpec((bnD, kbd), dmap),
+        pl.BlockSpec((bnD, 2 * kbd if s6d else kbd), dmap),
+        pl.BlockSpec((bnD, Kd // QK_K * 2 if s6d else kbd), dmap),
     ]
-    if s6d:
-        in_specs.append(pl.BlockSpec((bnD, Kd // QK_K * 2), dmap))
     out = pl.pallas_call(
         functools.partial(
             _fused_mlp_kernel, nA=nA, bnA=bnA, Kd=Kd,
@@ -1700,8 +1773,10 @@ def _qmatmul_pipelined(xp, ql, B, N, K, kb, block_n, out_dtype, interpret):
     operands = [xp, *arrays]
     if s6:
         edd = jnp.asarray(_dd_expand_np(K, ql.layout))
-        in_specs.append(pl.BlockSpec(edd.shape, lambda i: (0, 0)))
-        operands.append(edd)
+        eye = jnp.asarray(_eye_sm_np(2 * kb))
+        in_specs += [pl.BlockSpec(edd.shape, lambda i: (0, 0)),
+                     pl.BlockSpec(eye.shape, lambda i: (0, 0))]
+        operands += [edd, eye]
 
     cp = dict(dimension_semantics=("arbitrary",))
     if vmem_bytes is not None:

@@ -15,11 +15,11 @@ from ggml_cuda_experiments_tpu.utils.harness import assert_close
 FMTS = ["q8_0", "q4_0", "q4_k"]
 
 
-def _device_dequant_ref(fmt, t):
+def _device_dequant_ref(fmt, t, enc="e"):
     """The device dequant contract: GGML semantics for q8_0/q4_0; the
-    Q6_K-E encoding for q6_k; for q4_k, whichever encoding from_oracle's
-    auto rule selects — "s6" (f32 = bf16(d) * exact 6-bit sc, in-kernel
-    decode) when K % 4096 == 0, else "e" (pre-expanded bf16(d*sc))."""
+    Q6_K-E encoding for q6_k; for q4_k, the Q4_K-E bf16 effective scales
+    (the default), or with ``enc="s6"`` the opt-in storage encoding's
+    semantics (f32 = bf16(d) * exact 6-bit sc, in-kernel decode)."""
     import ml_dtypes
     if fmt == "q6_k":
         n, k = t.shape
@@ -30,7 +30,7 @@ def _device_dequant_ref(fmt, t):
     if fmt != "q4_k":
         return quant_ref.FORMATS[fmt][1](t)
     n, k = t.shape
-    if k % 4096 == 0:                    # s6 streaming encoding
+    if enc == "s6":
         dbf = t.d.astype(ml_dtypes.bfloat16).astype(np.float32)
         dmbf = t.dmin.astype(ml_dtypes.bfloat16).astype(np.float32)
         es = np.repeat(dbf, 8, -1) * t.sc.astype(np.float32)
@@ -416,3 +416,84 @@ def test_mlp_fused_matches_unfused(rng, kd):
     scale = max(np.abs(want).max(), 1e-6)
     err = np.abs(got - want).max() / scale
     assert err < 2e-2, f"rel err {err:.3e}"
+
+
+# ---------------------------------------------------------------------------
+# s6 opt-in storage encoding: every kernel path must decode it in-kernel
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("k", [4096, 12288])
+@pytest.mark.parametrize("path", ["chunk", "chunk8", "mxu_b16",
+                                  "pipelined", "xla"])
+def test_s6_encoding_all_paths(rng, k, path):
+    """from_oracle(enc="s6") against the s6 dequant contract on each
+    dispatch path (the s6 wire layout: combined int8 sc|mn + bf16
+    superblock d|dmin, quant_matmul module docstring)."""
+    import jax.numpy as jnp
+    n = 256
+    w = rng.normal(size=(n, k)).astype(np.float32) / np.sqrt(k)
+    t = quant_ref.quantize_q4_k(w)
+    ql = qm.from_oracle(t, enc="s6")
+    assert ql.enc == "s6" and ql.em is None
+    assert ql.nbytes * 8 / (n * k) == pytest.approx(4.625)
+    want_w = _device_dequant_ref("q4_k", t, enc="s6")
+    np.testing.assert_array_equal(
+        np.asarray(qm.dequantize_jnp(ql)), want_w)
+    B = 16 if path == "mxu_b16" else 1
+    x = rng.normal(size=(B, k)).astype(np.float32)
+    want = x @ want_w.T
+    xj = jnp.asarray(x)
+    if path == "chunk":
+        got = qm.qmatmul(xj, ql, use_vpu=True)
+        tol = 1e-4
+    elif path == "chunk8":
+        got = qm.qmatmul(xj, ql, use_vpu=True, x_quant8=True)
+        tol = 2e-2
+    elif path == "mxu_b16":
+        got = qm.qmatmul(xj, ql, block_n=128)
+        tol = 2e-2
+    elif path == "pipelined":
+        got = qm.qmatmul(xj, ql, block_n=128, pipelined=True)
+        tol = 2e-2
+    else:
+        got = qm.qmatmul_xla(xj, ql, compute_dtype=jnp.float32)
+        tol = 1e-4
+    scale = np.abs(want).max()
+    err = np.abs(np.asarray(got) - want).max()
+    assert err < tol * scale, f"s6 {path} K={k}: err {err} vs {scale}"
+
+
+def test_s6_wof_and_mlp_fused(rng):
+    """s6 x wof layout, and the fused-MLP kernel decoding s6 in-kernel."""
+    import jax.numpy as jnp
+    k = 4096
+    w = rng.normal(size=(256, k)).astype(np.float32) / 64
+    ql = qm.from_oracle(quant_ref.quantize_q4_k(w), layout="wof",
+                        enc="s6")
+    ref = np.asarray(qm.dequantize_jnp(ql))
+    x = rng.normal(size=(1, k)).astype(np.float32)
+    y = np.asarray(qm.qmatmul(jnp.asarray(x), ql, use_vpu=True,
+                              x_quant8=True))
+    want = x @ ref.T
+    assert np.abs(y - want).max() < 2e-2 * np.abs(want).max()
+
+    kg, kd = 4096, 12288
+    wg = rng.normal(size=(kd, kg)).astype(np.float32) / 64
+    wu = rng.normal(size=(kd, kg)).astype(np.float32) / 64
+    wd = rng.normal(size=(kg, kd)).astype(np.float32) / 110
+    w_guf = qm.from_oracle(
+        quant_ref.quantize_q4_k(qm.reorder_gu_rows(wg, wu)), enc="s6")
+    w_down = qm.from_oracle(quant_ref.quantize_q4_k(wd), enc="s6")
+    assert qm.mlp_fused_supported(w_guf, w_down)
+    x = rng.normal(size=(1, kg)).astype(np.float32) * 0.05
+    xp = qm.permute_activations(jnp.asarray(x))
+    got = np.asarray(qm.mlp_fused(xp, w_guf, w_down))
+    gu_ref = np.asarray(qm.dequantize_jnp(w_guf))
+    dn_ref = np.asarray(qm.dequantize_jnp(w_down))
+    y = x @ gu_ref.T
+    g, u = y[:, :kd], y[:, kd:]
+    mid_p = (g / (1 + np.exp(-g))) * u
+    mid = np.zeros_like(mid_p)
+    mid[:, np.asarray(qm._perm(kd))] = mid_p
+    want = mid @ dn_ref.T
+    assert np.abs(got - want).max() < 2e-2 * np.abs(want).max()

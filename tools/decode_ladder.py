@@ -56,7 +56,7 @@ def main():
 
     base = dataclasses.replace(PRESETS[model], x_quant8=True)
     import os
-    ckpt = f"/tmp/bench_ckpt_{model}_q4_k_v5.gctc"
+    ckpt = f"/tmp/bench_ckpt_{model}_q4_k_v6.gctc"
     for a in sys.argv:
         if a.startswith("--ckpt="):
             ckpt = a.split("=", 1)[1]
