@@ -55,7 +55,7 @@ def main():
         args.page_size = 128
 
     cfg = dataclasses.replace(PRESETS[args.model], x_quant8=True)
-    ckpt = f"/tmp/bench_ckpt_{args.model}_{args.fmt}_v4.gctc"
+    ckpt = f"/tmp/bench_ckpt_{args.model}_{args.fmt}_v6.gctc"
     t0 = time.perf_counter()
     if os.path.exists(ckpt):
         params = loader.load_params(ckpt)

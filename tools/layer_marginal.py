@@ -61,7 +61,7 @@ def main():
 
     cfg = dataclasses.replace(PRESETS[args.model], x_quant8=True)
     # share bench.py's checkpoint cache (same v3 segment-local layout)
-    ckpt = f"/tmp/bench_ckpt_{args.model}_{args.fmt}_v4.gctc"
+    ckpt = f"/tmp/bench_ckpt_{args.model}_{args.fmt}_v6.gctc"
     if os.path.exists(ckpt):
         print(f"loading {ckpt}", flush=True)
         params = loader.load_params(ckpt)

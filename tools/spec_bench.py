@@ -46,7 +46,7 @@ def load(model, fmt="q4_k"):
     from ggml_cuda_experiments_tpu.utils import loader
 
     cfg = dataclasses.replace(PRESETS[model], x_quant8=True)
-    ckpt = f"/tmp/bench_ckpt_{model}_{fmt}_v4.gctc"
+    ckpt = f"/tmp/bench_ckpt_{model}_{fmt}_v6.gctc"
     t0 = time.perf_counter()
     if os.path.exists(ckpt):
         params = loader.load_params(ckpt)
