@@ -42,7 +42,7 @@ Params = dict[str, Any]
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class PagedKVPool:
-    """Shared page pool: k/v [L, Hkv, n_pages, ps, D] (+ scales if int8)."""
+    """Shared page pool: k/v [L, n_pages, Hkv, ps, D] (+ scales if int8)."""
     k: jax.Array
     v: jax.Array
     k_scale: jax.Array | None = None
@@ -63,7 +63,10 @@ class PagedKVPool:
                quantized: bool | str = False, dtype=jnp.bfloat16
                ) -> "PagedKVPool":
         """``quantized``: False, True/"int8", or "fp8" (float8_e4m3)."""
-        shape = (cfg.n_layers, cfg.n_kv_heads, n_pages, page_size,
+        # page-major across heads: one page DMA moves every KV head's
+        # tokens (see ops/paged_attention.py — the head-major layout
+        # measured ~21 us of per-(seq, head) grid-step cost on v5e)
+        shape = (cfg.n_layers, n_pages, cfg.n_kv_heads, page_size,
                  cfg.head_dim)
         if quantized:
             qdt = jnp.float8_e4m3fn if quantized == "fp8" else jnp.int8
@@ -100,12 +103,19 @@ def _paged_prefill(params: Params, cfg: ModelConfig, tokens: jax.Array,
     Megatron row-parallel contractions — see parallel/tp.py)."""
     B, T = tokens.shape
     ps = pool.k.shape[3]
-    trash = pool.k.shape[2] - 1
+    trash = pool.k.shape[1] - 1
     h = params["embed"][tokens]
     positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
     t_idx = jnp.arange(T, dtype=jnp.int32)
-    pages = jnp.where(t_idx < length, page_row[t_idx // ps], trash)
-    offs = t_idx % ps
+    # one page index per WHOLE-PAGE run of the (page-aligned) prompt
+    # window; fully-invalid runs route to the trash page (partially
+    # valid runs write their own page's unread tail — harmless)
+    n_runs = -(-T // ps)
+    run_starts = jnp.arange(n_runs, dtype=jnp.int32) * ps
+    run_pages = jnp.where(
+        run_starts < length,
+        page_row[jnp.minimum(run_starts // ps, page_row.shape[0] - 1)],
+        trash)
 
     # running FULL pool arrays: per-(layer, token) scatters into the donated
     # 5-D arrays alias in place; a per-layer slice + end-of-step jnp.stack
@@ -128,17 +138,13 @@ def _paged_prefill(params: Params, cfg: ModelConfig, tokens: jax.Array,
         if pool.quantized:
             kq, ksc = llama._quantize_rowwise(kt, pool.quant_fmt)
             vq, vsc = llama._quantize_rowwise(vt, pool.quant_fmt)
-            pk = pk.at[li, :, pages, offs].set(
-                kq.swapaxes(0, 1).astype(pk.dtype))
-            pv = pv.at[li, :, pages, offs].set(
-                vq.swapaxes(0, 1).astype(pv.dtype))
-            pks = pks.at[li, :, pages, offs].set(ksc.T)
-            pvs = pvs.at[li, :, pages, offs].set(vsc.T)
+            pk = _pool_write_pages(pk, li, run_pages, kq, ps)
+            pv = _pool_write_pages(pv, li, run_pages, vq, ps)
+            pks = _pool_write_pages_scale(pks, li, run_pages, ksc, ps)
+            pvs = _pool_write_pages_scale(pvs, li, run_pages, vsc, ps)
         else:
-            pk = pk.at[li, :, pages, offs].set(
-                kt.swapaxes(0, 1).astype(pk.dtype))
-            pv = pv.at[li, :, pages, offs].set(
-                vt.swapaxes(0, 1).astype(pv.dtype))
+            pk = _pool_write_pages(pk, li, run_pages, kt, ps)
+            pv = _pool_write_pages(pv, li, run_pages, vt, ps)
 
         # attention over the fresh bf16 K/V; padded tail masked causally +
         # by length
@@ -186,14 +192,25 @@ def _paged_prefill_chunk(params: Params, cfg: ModelConfig,
     """
     B, C = tokens.shape
     ps = pool.k.shape[3]
-    trash = pool.k.shape[2] - 1
+    trash = pool.k.shape[1] - 1
     P = page_row.shape[0]
     S = P * ps
     h = params["embed"][tokens]
     t_glob = pos0 + jnp.arange(C, dtype=jnp.int32)           # [C]
     positions = jnp.broadcast_to(t_glob, (B, C))
-    pages = jnp.where(t_glob < length, page_row[t_glob // ps], trash)
-    offs = t_glob % ps
+    # page-run DUS writes (see _pool_write): needs runs that never
+    # straddle a page — Engine enforces C % ps == 0 or ps % C == 0, and
+    # pos0 is always a multiple of C
+    if C % ps == 0:
+        n_runs, run_len = C // ps, ps
+    else:
+        n_runs, run_len = 1, C
+    run_starts = pos0 + jnp.arange(n_runs, dtype=jnp.int32) * run_len
+    run_pages = jnp.where(
+        run_starts < length,
+        page_row[jnp.minimum(run_starts // ps, page_row.shape[0] - 1)],
+        trash)
+    run_offs = run_starts % ps
 
     kv_pos = jnp.arange(S, dtype=jnp.int32)[None, None, None, :]
     q_pos = t_glob[None, None, :, None]
@@ -217,29 +234,31 @@ def _paged_prefill_chunk(params: Params, cfg: ModelConfig,
         if pool.quantized:
             kq, ksc = llama._quantize_rowwise(kt, pool.quant_fmt)
             vq, vsc = llama._quantize_rowwise(vt, pool.quant_fmt)
-            pk = pk.at[li, :, pages, offs].set(
-                kq.swapaxes(0, 1).astype(pk.dtype))
-            pv = pv.at[li, :, pages, offs].set(
-                vq.swapaxes(0, 1).astype(pv.dtype))
-            pks = pks.at[li, :, pages, offs].set(ksc.T)
-            pvs = pvs.at[li, :, pages, offs].set(vsc.T)
-            kg = jnp.take(pk[li], page_row, axis=1).astype(jnp.float32)
-            vg = jnp.take(pv[li], page_row, axis=1).astype(jnp.float32)
-            ksg = jnp.take(pks[li], page_row, axis=1)
-            vsg = jnp.take(pvs[li], page_row, axis=1)
-            kseq = (kg * ksg[..., None]).reshape(
+            pk = _pool_write_pages(pk, li, run_pages, kq, run_len,
+                                   run_offs)
+            pv = _pool_write_pages(pv, li, run_pages, vq, run_len,
+                                   run_offs)
+            pks = _pool_write_pages_scale(pks, li, run_pages, ksc,
+                                          run_len, run_offs)
+            pvs = _pool_write_pages_scale(pvs, li, run_pages, vsc,
+                                          run_len, run_offs)
+            kg = jnp.take(pk[li], page_row, axis=0).astype(jnp.float32)
+            vg = jnp.take(pv[li], page_row, axis=0).astype(jnp.float32)
+            ksg = jnp.take(pks[li], page_row, axis=0)
+            vsg = jnp.take(pvs[li], page_row, axis=0)
+            kseq = (kg * ksg[..., None]).transpose(1, 0, 2, 3).reshape(
                 1, cfg.n_kv_heads, S, cfg.head_dim).astype(jnp.bfloat16)
-            vseq = (vg * vsg[..., None]).reshape(
+            vseq = (vg * vsg[..., None]).transpose(1, 0, 2, 3).reshape(
                 1, cfg.n_kv_heads, S, cfg.head_dim).astype(jnp.bfloat16)
         else:
-            pk = pk.at[li, :, pages, offs].set(
-                kt.swapaxes(0, 1).astype(pk.dtype))
-            pv = pv.at[li, :, pages, offs].set(
-                vt.swapaxes(0, 1).astype(pv.dtype))
-            kseq = jnp.take(pk[li], page_row, axis=1).reshape(
-                1, cfg.n_kv_heads, S, cfg.head_dim)
-            vseq = jnp.take(pv[li], page_row, axis=1).reshape(
-                1, cfg.n_kv_heads, S, cfg.head_dim)
+            pk = _pool_write_pages(pk, li, run_pages, kt, run_len,
+                                   run_offs)
+            pv = _pool_write_pages(pv, li, run_pages, vt, run_len,
+                                   run_offs)
+            kseq = jnp.take(pk[li], page_row, axis=0).transpose(
+                1, 0, 2, 3).reshape(1, cfg.n_kv_heads, S, cfg.head_dim)
+            vseq = jnp.take(pv[li], page_row, axis=0).transpose(
+                1, 0, 2, 3).reshape(1, cfg.n_kv_heads, S, cfg.head_dim)
 
         o = flash_attention(
             q.transpose(0, 2, 1, 3).astype(kseq.dtype), kseq, vseq, mask,
@@ -261,6 +280,59 @@ paged_prefill_chunk = functools.partial(
     donate_argnames=("pool",))(_paged_prefill_chunk)
 
 
+def _pool_write(pool5, li, pages_b, offs_b, val):
+    """val [B, Hkv, D] -> pool [L, n_pages, Hkv, ps, D] at
+    (li, pages_b[b], :, offs_b[b]) via per-sequence dynamic_update_slice
+    (in-place under donation; see the scatter note at the call site)."""
+    B = val.shape[0]
+    for b in range(B):
+        upd = val[b][None, None, :, None, :].astype(pool5.dtype)
+        pool5 = jax.lax.dynamic_update_slice(
+            pool5, upd, (li, pages_b[b], 0, offs_b[b], 0))
+    return pool5
+
+
+def _pool_write_scale(pool4, li, pages_b, offs_b, val):
+    """val [B, Hkv] -> scale pool [L, n_pages, Hkv, ps]."""
+    B = val.shape[0]
+    for b in range(B):
+        upd = val[b][None, None, :, None].astype(pool4.dtype)
+        pool4 = jax.lax.dynamic_update_slice(
+            pool4, upd, (li, pages_b[b], 0, offs_b[b]))
+    return pool4
+
+
+def _pool_write_pages(pool5, li, run_pages, val, run_len, run_offs=None):
+    """Prefill writes: val [Hkv, T, D] split into page-aligned runs, one
+    dynamic_update_slice per LOGICAL page run (token runs within a page
+    are contiguous). Same scatter-copy avoidance as _pool_write; a run
+    that extends past the valid length writes its owner page's unread
+    tail, which is harmless (run_pages routes fully-invalid runs to
+    trash). ``run_offs``: traced within-page start offset per run (the
+    chunked-prefill case), default 0."""
+    T = val.shape[1]
+    for pi in range(-(-T // run_len)):
+        run = min(run_len, T - pi * run_len)
+        off = 0 if run_offs is None else run_offs[pi]
+        upd = val[:, pi * run_len:pi * run_len + run][None, None]
+        pool5 = jax.lax.dynamic_update_slice(
+            pool5, upd.astype(pool5.dtype), (li, run_pages[pi], 0, off, 0))
+    return pool5
+
+
+def _pool_write_pages_scale(pool4, li, run_pages, val, run_len,
+                            run_offs=None):
+    """val [Hkv, T] -> scale pool, one DUS per logical page run."""
+    T = val.shape[1]
+    for pi in range(-(-T // run_len)):
+        run = min(run_len, T - pi * run_len)
+        off = 0 if run_offs is None else run_offs[pi]
+        upd = val[:, pi * run_len:pi * run_len + run][None, None]
+        pool4 = jax.lax.dynamic_update_slice(
+            pool4, upd.astype(pool4.dtype), (li, run_pages[pi], 0, off))
+    return pool4
+
+
 def _paged_decode_step(params: Params, cfg: ModelConfig, tokens: jax.Array,
                        lengths: jax.Array, page_indices: jax.Array,
                        pool: PagedKVPool, active: jax.Array, ppcb: int = 1,
@@ -275,7 +347,7 @@ def _paged_decode_step(params: Params, cfg: ModelConfig, tokens: jax.Array,
     """
     B = tokens.shape[0]
     ps = pool.k.shape[3]
-    trash = pool.k.shape[2] - 1
+    trash = pool.k.shape[1] - 1
     h = params["embed"][tokens[:, None]]                   # [B, 1, dim]
     positions = lengths[:, None]
 
@@ -306,17 +378,23 @@ def _paged_decode_step(params: Params, cfg: ModelConfig, tokens: jax.Array,
         if pool.quantized:
             kq, ksc = llama._quantize_rowwise(kt, pool.quant_fmt)
             vq, vsc = llama._quantize_rowwise(vt, pool.quant_fmt)
-            pk = pk.at[li, :, pages_b, offs_b].set(kq.astype(pk.dtype))
-            pv = pv.at[li, :, pages_b, offs_b].set(vq.astype(pv.dtype))
-            pks = pks.at[li, :, pages_b, offs_b].set(ksc)
-            pvs = pvs.at[li, :, pages_b, offs_b].set(vsc)
+            # per-sequence dynamic_update_slice, NOT an advanced-index
+            # scatter: a scatter into the ~GB pool is not done in place
+            # by XLA here and copies the whole array per layer (measured:
+            # paged decode step time scaled linearly with pool bytes);
+            # tiny DUS writes alias under donation like the contiguous
+            # cache's _write_cache_layer
+            pk = _pool_write(pk, li, pages_b, offs_b, kq)
+            pv = _pool_write(pv, li, pages_b, offs_b, vq)
+            pks = _pool_write_scale(pks, li, pages_b, offs_b, ksc)
+            pvs = _pool_write_scale(pvs, li, pages_b, offs_b, vsc)
             o = paged_decode(
                 q, pk, pv, lengths + 1, page_indices,
                 k_scale_pages=pks, v_scale_pages=pvs,
                 pages_per_compute_block=ppcb, layer=li)
         else:
-            pk = pk.at[li, :, pages_b, offs_b].set(kt.astype(pk.dtype))
-            pv = pv.at[li, :, pages_b, offs_b].set(vt.astype(pv.dtype))
+            pk = _pool_write(pk, li, pages_b, offs_b, kt)
+            pv = _pool_write(pv, li, pages_b, offs_b, vt)
             o = paged_decode(q, pk, pv, lengths + 1, page_indices,
                              pages_per_compute_block=ppcb, layer=li)
 
@@ -376,12 +454,12 @@ paged_decode_window = functools.partial(
 
 def _pool_specs(pool: PagedKVPool):
     """PartitionSpec tree for the pool: KV heads on the ``model`` axis
-    (dim 1 of [L, Hkv, n_pages, ps, D]) — GQA co-location keeps paged
+    (dim 2 of [L, n_pages, Hkv, ps, D]) — GQA co-location keeps paged
     attention communication-free, exactly as for the contiguous cache
     (parallel/tp.py)."""
     from jax.sharding import PartitionSpec as P
-    s5 = P(None, "model", None, None, None)
-    s4 = P(None, "model", None, None)
+    s5 = P(None, None, "model", None, None)
+    s4 = P(None, None, "model", None)
     return PagedKVPool(
         k=s5, v=s5,
         k_scale=None if pool.k_scale is None else s4,
@@ -540,6 +618,10 @@ class Engine:
             assert scheduler == "python", \
                 "prefill_chunk needs the python scheduler"
             assert mesh is None, "prefill_chunk not yet supported with TP"
+            assert (prefill_chunk % page_size == 0
+                    or page_size % prefill_chunk == 0), (
+                "prefill_chunk must divide or be a multiple of page_size "
+                "(page-run DUS writes must not straddle pages)")
 
         self.waiting: list[Request] = []
         self.prefilling: list[Request] = []

@@ -3,24 +3,31 @@
 The serving-time form of the split-KV decode (ops/flash_decode.py): the KV
 cache lives in a shared page pool in HBM, each sequence owns a list of page
 indices, and the kernel streams its pages through a double-buffered VMEM
-window — one DMA per page, all started concurrently, next block prefetched
-while the current one computes (boom guide §§8-13; the VMEM staging +
-async-copy discipline is the analog of the reference's
+window — next block prefetched while the current one computes (the VMEM
+staging + async-copy discipline is the analog of the reference's
 cooperative_groups::memcpy_async shared-memory staging,
 /root/reference/src/flash_row_float.h:241-252 and
 /root/reference/src/flash-matrix.cu:18-65, done with Pallas DMA).
 
-Supports bf16 pages and int8/fp8 pages with per-token scales (scales applied
-to score/probability rows, not the D-wide tiles — see flash_decode).
-NOTE: quantized pools need ``page_size`` to be a multiple of 128 on real
-TPUs — the per-page scale DMA is a [page_size]-lane slice and Mosaic
-requires lane slices aligned to the 128 tiling ("Slice shape along
-dimension 3 must be aligned to tiling (128)"); bf16 pools take any
-page_size (their [page_size, D] tiles slice sublanes, aligned to 8).
+Layout: pages are **page-major across heads** —
+``[(L,) n_pages, Hkv, page_size, D]`` — so ONE page DMA moves every KV
+head's tokens as one contiguous [Hkv, ps, D] block. Round 3 measured the
+previous head-major layout ([Hkv, n_pages, ps, D], one DMA per (head,
+page)) at ~21 us of fixed cost per (sequence, head) grid step on a v5e —
+4096 DMA descriptors per 7B layer at batch 8 — which made the paged
+serving path 12x slower than the contiguous cache. Page-major cuts the
+descriptor count by Hkv (one [Hkv, ps, D] copy per page) and the grid to
+(batch, kv_blocks); every head is computed inside one step. This is also
+the layout in which a page is the unit of both allocation AND transfer
+(the reference keeps V transposed-contiguous for the same reason its hot
+loop wants it, /root/reference/src/flash_row_float.h:176-177).
 
-Layout: pages are [Hkv, n_pages, page_size, D] so one (head, page) DMA is a
-contiguous [page_size, D] tile with D on lanes — both QK^T and P·V contract
-on a native dimension, no transposes (SURVEY §7 "layout constraints").
+Supports bf16 pages and int8/fp8 pages with per-token scales (scales
+applied to score/probability rows, not the D-wide tiles — see
+flash_decode). NOTE: quantized pools need ``page_size`` to be a multiple
+of 128 on real TPUs — the per-page scale block is a [Hkv, page_size]
+tile and Mosaic requires its lane dim 128-aligned; bf16 pools take any
+page_size.
 """
 
 from __future__ import annotations
@@ -40,8 +47,8 @@ DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 def _paged_kernel(
     # scalar prefetch
     len_ref, pages_ref, *rest,
-    scale: float, page_size: int, ppcb: int, n_blocks: int, n_kv_heads: int,
-    batch: int, quantized: bool, layered: bool,
+    scale: float, page_size: int, ppcb: int, n_blocks: int,
+    batch: int, G: int, quantized: bool, layered: bool,
 ):
     if layered:
         # the pools carry a leading layer dim; DMAs index the prefetched
@@ -61,16 +68,17 @@ def _paged_kernel(
          m_scr, l_scr, acc_scr) = rest
         ks_pages = vs_pages = ks_buf = vs_buf = None
 
-    b, h, i = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-    g, d = q_ref.shape[2], q_ref.shape[3]
+    b, i = pl.program_id(0), pl.program_id(1)
+    hkv = q_ref.shape[1]
     bk = ppcb * page_size
-    n_pages_total = k_pages.shape[-3]
+    n_pages_total = k_pages.shape[-4]
 
     def nblocks_of(bb):
         return pl.cdiv(len_ref[bb], bk)
 
-    def block_dmas(bb, hh, ii, slot):
-        """Descriptors for the per-page DMAs of block ii of sequence bb.
+    def block_dmas(bb, ii, slot):
+        """Descriptors for the per-page DMAs of block ii of sequence bb —
+        ppcb [Hkv, ps, D] copies each for K and V (+ [Hkv, ps] scales).
 
         Rebuilt identically at start and wait time (the wait must reference
         the same src/dst — the interpreter executes the copy at wait)."""
@@ -78,52 +86,42 @@ def _paged_kernel(
         for p in range(ppcb):
             page = jnp.minimum(pages_ref[bb, ii * ppcb + p],
                                n_pages_total - 1)
-            idx = lyr + (hh, page)
+            idx = lyr + (page,)
             dmas.append(pltpu.make_async_copy(
-                k_pages.at[idx], k_buf.at[slot, p],
-                sems.at[0, slot, p]))
+                k_pages.at[idx], k_buf.at[slot, p], sems.at[0, slot, p]))
             dmas.append(pltpu.make_async_copy(
-                v_pages.at[idx], v_buf.at[slot, p],
-                sems.at[1, slot, p]))
+                v_pages.at[idx], v_buf.at[slot, p], sems.at[1, slot, p]))
             if quantized:
-                # scales land in a FLAT [bk]-lane row (page p at lane
-                # offset p*page_size): a [ppcb, ps] -> [1, bk] reshape at
-                # use time is a sublane->lane cast Mosaic cannot lower
                 dmas.append(pltpu.make_async_copy(
-                    ks_pages.at[idx],
-                    ks_buf.at[slot, pl.ds(p * page_size, page_size)],
+                    ks_pages.at[idx], ks_buf.at[slot, p],
                     sems.at[2, slot, p]))
                 dmas.append(pltpu.make_async_copy(
-                    vs_pages.at[idx],
-                    vs_buf.at[slot, pl.ds(p * page_size, page_size)],
+                    vs_pages.at[idx], vs_buf.at[slot, p],
                     sems.at[3, slot, p]))
         return dmas
 
-    def start_block(bb, hh, ii, slot):
-        for dma in block_dmas(bb, hh, ii, slot):
+    def start_block(bb, ii, slot):
+        for dma in block_dmas(bb, ii, slot):
             dma.start()
 
-    def wait_block(bb, hh, ii, slot):
-        for dma in block_dmas(bb, hh, ii, slot):
+    def wait_block(bb, ii, slot):
+        for dma in block_dmas(bb, ii, slot):
             dma.wait()
 
-    def next_block(bb, hh, ii):
+    def next_block(bb, ii):
         """Lexicographic successor skipping each sequence's empty tail."""
         ii = ii + 1
-        roll_h = ii >= nblocks_of(bb)
-        hh = jnp.where(roll_h, hh + 1, hh)
-        ii = jnp.where(roll_h, 0, ii)
-        roll_b = hh >= n_kv_heads
+        roll_b = ii >= nblocks_of(bb)
         bb = jnp.where(roll_b, bb + 1, bb)
-        hh = jnp.where(roll_b, 0, hh)
-        return bb, hh, ii
+        ii = jnp.where(roll_b, 0, ii)
+        return bb, ii
 
     length = len_ref[b]
     base = i * bk
 
     # SMEM scratch is not zero-initialized: reset the DMA state machine on
     # the global first step (always active since lengths >= 1)
-    @pl.when((b == 0) & (h == 0) & (i == 0))
+    @pl.when((b == 0) & (i == 0))
     def _reset():
         state[1] = 0
 
@@ -133,18 +131,18 @@ def _paged_kernel(
         # state[1]: 0 until the very first DMA has been issued
         @pl.when(state[1] == 0)
         def _first():
-            start_block(b, h, i, 0)
+            start_block(b, i, 0)
             state[0] = 0
             state[1] = 1
 
         slot = state[0]
 
         # prefetch the next real block into the other slot
-        nb, nh, ni = next_block(b, h, i)
+        nb, ni = next_block(b, i)
 
         @pl.when(nb < batch)
         def _prefetch():
-            start_block(nb, nh, ni, 1 - slot)
+            start_block(nb, ni, 1 - slot)
         state[0] = 1 - slot
 
         @pl.when(i == 0)
@@ -153,50 +151,50 @@ def _paged_kernel(
             l_scr[...] = jnp.zeros_like(l_scr)
             acc_scr[...] = jnp.zeros_like(acc_scr)
 
-        wait_block(b, h, i, slot)
-        q = q_ref[0, 0]                                     # [G, D]
-        k = k_buf[slot].reshape(bk, d)
-        prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
-                else jax.lax.Precision.DEFAULT)
-        if quantized:
-            s = jax.lax.dot_general(
-                q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            s = s * (ks_buf[slot][None, :] * scale)
-        else:
-            s = jax.lax.dot_general(
-                q.astype(k.dtype), k,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec) * scale
-        kpos = base + jax.lax.broadcasted_iota(jnp.int32, (g, bk), 1)
-        s = jnp.where(kpos < length, s, DEFAULT_MASK_VALUE)
+        wait_block(b, i, slot)
 
-        m_prev, l_prev = m_scr[...], l_scr[...]
-        m_curr = jnp.max(s, axis=1, keepdims=True)
-        m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next[:, :1])
-        l_next = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
-        m_scr[...] = m_next
-        l_scr[...] = l_next
-        acc_scr[...] *= alpha[:, :1]
-        v = v_buf[slot].reshape(bk, d)
-        if quantized:
-            pv = (p * vs_buf[slot][None, :]).astype(jnp.bfloat16)
-            acc_scr[...] += jax.lax.dot(
-                pv, v.astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32)
-        else:
-            acc_scr[...] += jax.lax.dot(
-                p.astype(v.dtype), v, preferred_element_type=jnp.float32,
-                precision=prec)
+        # per-GQA-group loop (static, G = Hq/Hkv): every op below is a
+        # [Hkv, x]-shaped VPU broadcast/reduce — all heads advance in one
+        # grid step (the whole point of the page-major layout)
+        for g in range(G):
+            qg = q_ref[0, :, g, :].astype(jnp.float32)       # [Hkv, D]
+            parts = []
+            for p in range(ppcb):
+                kp = k_buf[slot, p].astype(jnp.float32)      # [Hkv, ps, D]
+                sp = jnp.sum(qg[:, None, :] * kp, axis=-1)   # [Hkv, ps]
+                if quantized:
+                    sp = sp * (ks_buf[slot, p] * scale)
+                else:
+                    sp = sp * scale
+                parts.append(sp)
+            s = parts[0] if ppcb == 1 else jnp.concatenate(parts, axis=1)
+            kpos = base + jax.lax.broadcasted_iota(jnp.int32, (hkv, bk), 1)
+            s = jnp.where(kpos < length, s, DEFAULT_MASK_VALUE)
+
+            m_prev, l_prev = m_scr[g], l_scr[g]
+            m_curr = jnp.max(s, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp(m_prev - m_next)
+            pmat = jnp.exp(s - m_next[:, :1])
+            l_next = l_prev * alpha + jnp.sum(pmat, axis=1, keepdims=True)
+            m_scr[g] = m_next
+            l_scr[g] = l_next
+            acc = acc_scr[g] * alpha[:, :1]
+            for p in range(ppcb):
+                vp = v_buf[slot, p].astype(jnp.float32)      # [Hkv, ps, D]
+                pp = pmat[:, p * page_size:(p + 1) * page_size]
+                if quantized:
+                    pp = pp * vs_buf[slot, p]
+                acc = acc + jnp.sum(pp[:, :, None] * vp, axis=1)
+            acc_scr[g] = acc
 
         @pl.when(i == nblocks_of(b) - 1)
         def _emit():
-            l = l_scr[:, :1]
-            l_safe = jnp.where(l == 0.0, 1.0, l)
-            o_ref[0, 0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
+            for g in range(G):
+                l = l_scr[g][:, :1]
+                l_safe = jnp.where(l == 0.0, 1.0, l)
+                o_ref[0, :, g, :] = (acc_scr[g] / l_safe
+                                     ).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -220,23 +218,34 @@ def paged_decode(
     """Single-token attention over a paged KV cache.
 
     q:            [B, Hq, D]
-    k/v_pages:    [Hkv, n_pages, page_size, D] shared page pool, OR the
-                  full per-layer pool [L, Hkv, n_pages, page_size, D]
+    k/v_pages:    [n_pages, Hkv, page_size, D] shared page pool
+                  (page-major across heads — see module docstring), OR
+                  the full per-layer pool [L, n_pages, Hkv, page_size, D]
                   together with ``layer`` — the layer is selected by the
                   in-kernel DMAs (scalar prefetch), so no layer slice of
                   the pool is ever materialized (an XLA slice feeding the
                   custom call would copy the whole layer's pool per call)
     lengths:      [B] int32 valid tokens per sequence (>= 1)
     page_indices: [B, pages_per_seq] int32 logical->physical page map
-    k/v_scale_pages: [(L,) Hkv, n_pages, page_size] f32 for int8 pages
+    k/v_scale_pages: [(L,) n_pages, Hkv, page_size] f32 for int8 pages
     layer: scalar int selecting the pool layer when pages are 5-D
     Returns O [B, Hq, D] in q's dtype.
+
+    NOTE (measured, v5e): the POOL WRITES feeding this call must be
+    per-sequence dynamic_update_slice, not advanced-index scatters — a
+    scatter into a ~GB pool is not done in place by XLA in the serving
+    decode loop and copies the whole pool per layer (step time scaled
+    linearly with pool bytes until models/engine.py switched to DUS
+    writes). Aliasing the pools through this call as extra outputs
+    (input_output_aliases) was also tried and REGRESSED 2x — the
+    aliased ANY-space outputs defeat Pallas' own buffer handling; do
+    not re-try.
     """
     B, Hq, D = q.shape
     layered = k_pages.ndim == 5
     assert layered == (layer is not None), \
         "pass `layer` iff the page pools carry a leading layer dimension"
-    Hkv, n_pages, page_size, _ = k_pages.shape[1:] if layered \
+    n_pages, Hkv, page_size, _ = k_pages.shape[1:] if layered \
         else k_pages.shape
     pages_per_seq = page_indices.shape[1]
     assert Hq % Hkv == 0
@@ -253,55 +262,60 @@ def paged_decode(
     qg = q.reshape(B, Hkv, G, D)
 
     tensor_in_specs = [
-        pl.BlockSpec((1, 1, G, D),
-                     lambda b, h, i, *refs: (b, h, 0, 0)),
+        pl.BlockSpec((1, Hkv, G, D),
+                     lambda b, i, *refs: (b, 0, 0, 0)),
         pl.BlockSpec(memory_space=pl.ANY),       # k_pages (manual DMA)
         pl.BlockSpec(memory_space=pl.ANY),       # v_pages
     ]
     args = [qg, k_pages, v_pages]
     n_sem_kinds = 2
     scratch = [
-        pltpu.VMEM((2, ppcb, page_size, D), k_pages.dtype),   # k window
-        pltpu.VMEM((2, ppcb, page_size, D), v_pages.dtype),   # v window
+        pltpu.VMEM((2, ppcb, Hkv, page_size, D), k_pages.dtype),  # k window
+        pltpu.VMEM((2, ppcb, Hkv, page_size, D), v_pages.dtype),  # v window
     ]
     if quantized:
         tensor_in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 2
         args += [k_scale_pages, v_scale_pages]
         scratch += [
-            pltpu.VMEM((2, ppcb * page_size), jnp.float32),
-            pltpu.VMEM((2, ppcb * page_size), jnp.float32),
+            pltpu.VMEM((2, ppcb, Hkv, page_size), jnp.float32),
+            pltpu.VMEM((2, ppcb, Hkv, page_size), jnp.float32),
         ]
         n_sem_kinds = 4
     scratch += [
         pltpu.SemaphoreType.DMA((n_sem_kinds, 2, ppcb)),
         pltpu.SMEM((2,), jnp.int32),                 # [buffer slot, started]
-        pltpu.VMEM((G, 128), jnp.float32),           # m
-        pltpu.VMEM((G, 128), jnp.float32),           # l
-        pltpu.VMEM((G, D), jnp.float32),             # acc
+        pltpu.VMEM((G, Hkv, 128), jnp.float32),      # m
+        pltpu.VMEM((G, Hkv, 128), jnp.float32),      # l
+        pltpu.VMEM((G, Hkv, D), jnp.float32),        # acc
     ]
 
     prefetch = [lengths.astype(jnp.int32), page_indices.astype(jnp.int32)]
     if layered:
         prefetch.append(jnp.atleast_1d(jnp.asarray(layer, jnp.int32)))
+    n_prefetch = 2 + layered
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2 + layered,
-        grid=(B, Hkv, n_blocks),
+        num_scalar_prefetch=n_prefetch,
+        grid=(B, n_blocks),
         in_specs=tensor_in_specs,
-        out_specs=pl.BlockSpec((1, 1, G, D),
-                               lambda b, h, i, *refs: (b, h, 0, 0)),
+        out_specs=pl.BlockSpec((1, Hkv, G, D),
+                               lambda b, i, *refs: (b, 0, 0, 0)),
         scratch_shapes=scratch,
     )
 
     out = pl.pallas_call(
         functools.partial(
             _paged_kernel, scale=scale, page_size=page_size, ppcb=ppcb,
-            n_blocks=n_blocks, n_kv_heads=Hkv, batch=B, quantized=quantized,
+            n_blocks=n_blocks, batch=B, G=G, quantized=quantized,
             layered=layered),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            # page-major windows [2, ppcb, Hkv, ps, D] x2 + f32 compute
+            # temporaries exceed Mosaic's ~16 MB default scoped-VMEM cap
+            # at serving shapes; v5e has 128 MB (same fix as chunk8_plan)
+            vmem_limit_bytes=100 * 2**20,
         ),
         interpret=interpret_default(interpret),
     )(*prefetch, *args)

@@ -25,14 +25,14 @@ def _paged_setup(rng, B, Hq, Hkv, D, page_size, pages_per_seq, lengths):
     perm = rng.permutation(n_pages)[: B * pages_per_seq]
     page_indices = perm.reshape(B, pages_per_seq).astype(np.int32)
 
-    k_pages = np.zeros((Hkv, n_pages, page_size, D), np.float32)
-    v_pages = np.zeros((Hkv, n_pages, page_size, D), np.float32)
+    k_pages = np.zeros((n_pages, Hkv, page_size, D), np.float32)
+    v_pages = np.zeros((n_pages, Hkv, page_size, D), np.float32)
     for b in range(B):
         for pi in range(pages_per_seq):
             phys = page_indices[b, pi]
             sl = slice(pi * page_size, (pi + 1) * page_size)
-            k_pages[:, phys] = k[b, :, sl]
-            v_pages[:, phys] = v[b, :, sl]
+            k_pages[phys] = k[b, :, sl]
+            v_pages[phys] = v[b, :, sl]
     return q, k, v, k_pages, v_pages, page_indices
 
 
@@ -85,8 +85,8 @@ def test_paged_quantized(rng, fmt):
     for b in range(B):
         for pi in range(pps):
             sl = slice(pi * ps, (pi + 1) * ps)
-            k_contig[b, :, sl] = kd[:, pidx[b, pi]]
-            v_contig[b, :, sl] = vd[:, pidx[b, pi]]
+            k_contig[b, :, sl] = kd[pidx[b, pi]]      # page-major pool
+            v_contig[b, :, sl] = vd[pidx[b, pi]]
     want = flash_decode(jnp.asarray(q), jnp.asarray(k_contig),
                         jnp.asarray(v_contig), jnp.asarray(lengths))
 
@@ -104,8 +104,8 @@ def test_layered_pool_matches_sliced(rng):
     call (layer selected by the in-kernel DMAs, so the engine never
     materializes a layer slice of the pool)."""
     L, B, Hq, Hkv, npg, ps, D = 3, 2, 8, 4, 16, 32, 64
-    kp = jnp.asarray(rng.normal(size=(L, Hkv, npg, ps, D)), jnp.bfloat16)
-    vp = jnp.asarray(rng.normal(size=(L, Hkv, npg, ps, D)), jnp.bfloat16)
+    kp = jnp.asarray(rng.normal(size=(L, npg, Hkv, ps, D)), jnp.bfloat16)
+    vp = jnp.asarray(rng.normal(size=(L, npg, Hkv, ps, D)), jnp.bfloat16)
     q = jnp.asarray(rng.normal(size=(B, Hq, D)), jnp.bfloat16)
     lens = jnp.asarray([70, 200], jnp.int32)
     pidx = jnp.asarray(
