@@ -72,7 +72,7 @@ def _time_once(f, x0) -> float:
     return time.perf_counter() - t0
 
 
-def roofline_pct(fmt, inner=INNER, n_pairs=9, min_valid=5, **kw) -> float:
+def roofline_pct(fmt, inner=INNER, n_pairs=13, min_valid=7, **kw) -> float:
     """% of peak HBM BW, measured as the SIZE-marginal rate: the chained
     loop is timed with N=32768 and N=8192 row weights and the difference
     divided by the byte difference — per-call dispatch, fold latency and
