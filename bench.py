@@ -114,7 +114,10 @@ def roofline_pct(fmt, inner=INNER, n_pairs=13, min_valid=7, **kw) -> float:
                if per_iter > 0 else float("inf"))
         (valid if 0.0 < pct <= 100.0 else rejected).append(pct)
     if not valid:                            # catastrophic rig noise
-        valid = [min(p, 100.0) for p in rejected if np.isfinite(p)] or [0.0]
+        # clamp into [0, 100]: a negative marginal is as impossible as a
+        # faster-than-HBM one; never report a physically meaningless pct
+        valid = [min(max(p, 0.0), 100.0)
+                 for p in rejected if np.isfinite(p)] or [0.0]
     pcts = sorted(valid)
     pct = pcts[len(pcts) // 2]
     gbs = pct / 100.0 * peak_gbs

@@ -394,6 +394,17 @@ def _eye_sm_np(kb2: int) -> np.ndarray:
     return np.eye(kb2, dtype=np.int8)
 
 
+def _eye_operand(kb2: int) -> np.ndarray:
+    """s6 eye operand for the CURRENT decode variant: the real [2kb, 2kb]
+    int8 identity only for "eyedot" (which dots against it); every other
+    lowering never reads the ref, so a minimal [8, 128] placeholder keeps
+    the operand lists uniform without streaming ~590 KB of dead identity
+    per dispatch (K=12288)."""
+    if S6_DECODE_VARIANT == "eyedot":
+        return _eye_sm_np(kb2)
+    return np.zeros((8, 128), np.int8)
+
+
 # Probe hook (tools/probe_s6.py): selects the s6 decode lowering so the
 # cost of each stage can be measured in isolation on the chip. "cast" is
 # the best measured lowering (97.7 us/Diter vs eyedot 105.0, constdd
@@ -405,12 +416,13 @@ S6_DECODE_VARIANT = "cast"
 def _decode_es_em_s6(sm_ref, dd_ref, edd_ref, eye_ref):
     """In-kernel s6 scale decode -> (es, em) f32 [bn, kb].
     sm: int8 ref [bn, 2*kb] (sc-half | mn-half); dd: bf16 ref [bn, 2S];
-    edd: bf16 constant [2S, 2*kb] (see _dd_expand_np); eye: int8
-    constant [2*kb, 2*kb]. kb must be 128-aligned (guaranteed: s6 is
-    only produced for K % 4096 == 0). The int8 values reach f32 through
-    an MXU eye-dot + same-width int32 cast — a direct VPU int8->f32
-    upcast is a sub-byte relayout that measured ~13% of the HBM roofline
-    on the chunk8 matvec."""
+    edd: bf16 constant [2S, 2*kb] (see _dd_expand_np); eye: int8 identity
+    [2*kb, 2*kb] for the "eyedot" variant only (a placeholder otherwise —
+    _eye_operand). kb must be 128-aligned (guaranteed: s6 is only produced
+    for K % 4096 == 0). The DEFAULT lowering is "cast": a direct
+    int8->int32->f32 VPU upcast of the [bn, 2kb] scale tile — measured
+    fastest (97.7 us/Diter vs eyedot 105.0 at the bench shape); the MXU
+    eye-dot upcast is kept as a probe variant."""
     bn = sm_ref.shape[0]
     if dd_ref.shape[0] != bn:          # const whole-array dd ("constdd")
         dd = dd_ref[pl.ds(pl.program_id(0) * bn, bn), :]
@@ -464,8 +476,9 @@ def q4_k_effective(t: quant_ref.Q4_K) -> tuple[np.ndarray, np.ndarray]:
 def from_oracle(t, layout: str = "std", enc: str = "auto") -> QuantLinear:
     """Convert an oracle-quantized tensor (logical planar NumPy layout) to
     interleaved device arrays. ``layout``: "std" or "wof" (q4_k only).
-    ``enc`` (q4_k only): "auto" (s6 when K % 4096 == 0, else e), "s6",
-    or "e" — see the module docstring."""
+    ``enc`` (q4_k only): "auto" (currently resolves to "e" — s6 is the
+    measured-slower opt-in storage encoding), "s6", or "e" — see the
+    module docstring."""
     n, k = t.shape
     if layout != "std":
         assert layout == "wof" and isinstance(t, quant_ref.Q4_K), \
@@ -1062,7 +1075,7 @@ def qmatmul(
             operands = [xp, *arrays]
             if s6:
                 edd = jnp.asarray(_dd_expand_np(K, ql.layout))
-                eye = jnp.asarray(_eye_sm_np(2 * kb))
+                eye = jnp.asarray(_eye_operand(2 * kb))
                 in_specs += [pl.BlockSpec(edd.shape, lambda n: (0, 0)),
                              pl.BlockSpec(eye.shape, lambda n: (0, 0))]
                 operands += [edd, eye]
@@ -1114,7 +1127,7 @@ def qmatmul(
     operands = [xp, *arrays]
     if s6:
         edd = jnp.asarray(_dd_expand_np(K, ql.layout))
-        eye = jnp.asarray(_eye_sm_np(2 * kb))
+        eye = jnp.asarray(_eye_operand(2 * kb))
         in_specs += [pl.BlockSpec(edd.shape, lambda n: (0, 0)),
                      pl.BlockSpec(eye.shape, lambda n: (0, 0))]
         operands += [edd, eye]
@@ -1267,7 +1280,8 @@ def _quant_rows_blockwise(v, kb, n_segs=1):
     return q.reshape(-1), scale
 
 
-def chunk8_plan(N: int, K: int, block_n: int | None = None) -> dict:
+def chunk8_plan(N: int, K: int, block_n: int | None = None,
+                enc: str = "e") -> dict:
     """Tile plan + VMEM-footprint estimate for the chunk8 q4 matvec — the
     analog of the reference's shared-memory-KB report
     (/root/reference/src/kernel_test.h:230-232): the bench rig prints
@@ -1302,9 +1316,10 @@ def chunk8_plan(N: int, K: int, block_n: int | None = None) -> dict:
     vmem_limit = 100 * 2**20 if bn * K > 6.3e6 else None
     segs = _n_segs(K)
     kb_sel = 128 if segs > 1 else kb
-    # scale streams assume the s6 encoding when K allows it (int8 sc/mn
-    # [bn, kb] x2 + bf16 d|dmin [bn, K/128]), else bf16 es/em
-    s6 = K % (128 * QK) == 0
+    # scale stream sized from the ACTUAL encoding (``enc``, from the
+    # QuantLinear when dispatched): s6 streams int8 sc/mn [bn, kb] x2 +
+    # bf16 d|dmin [bn, K/128]; the default "e" streams bf16 es/em
+    s6 = enc == "s6" and K % (128 * QK) == 0
     scale_bytes = (2 * (2 * bn * kb + 2 * bn * (K // 128))
                    if s6 else 2 * 2 * 2 * bn * kb)
     est = {
@@ -1350,7 +1365,7 @@ def _qmatmul_chunk8(xp, ql, N, K, kb, block_n, out_dtype, interpret):
     s6 = ql.enc == "s6" and ql.fmt == "q4_k"
     fields = _fields(ql)
     kh = K // 2
-    plan = chunk8_plan(N, K, block_n)
+    plan = chunk8_plan(N, K, block_n, enc=ql.enc)
     bn, Np, splits = plan["bn"], plan["Np"], plan["splits"]
     vmem_bytes = plan["vmem_limit"]
 
@@ -1388,7 +1403,7 @@ def _qmatmul_chunk8(xp, ql, N, K, kb, block_n, out_dtype, interpret):
     operands = [ea, eb, sc]
     if s6:
         edd = jnp.asarray(_dd_expand_np(K, ql.layout))
-        eye = jnp.asarray(_eye_sm_np(2 * kb))
+        eye = jnp.asarray(_eye_operand(2 * kb))
         dd_spec = (pl.BlockSpec((Np, K // QK_K * 2), const)
                    if S6_DECODE_VARIANT == "constdd"
                    else pl.BlockSpec((bn, K // QK_K * 2), tile))
@@ -1454,7 +1469,7 @@ def _qmatmul_chunk(xp, ql, N, K, kb, block_n, out_dtype, interpret):
     operands = [a, bvec, sc]
     if s6:
         edd = jnp.asarray(_dd_expand_np(K, ql.layout))
-        eye = jnp.asarray(_eye_sm_np(2 * kb))
+        eye = jnp.asarray(_eye_operand(2 * kb))
         in_specs += [pl.BlockSpec(edd.shape, const),
                      pl.BlockSpec(eye.shape, const),
                      pl.BlockSpec((bn, kh), tile),
@@ -1681,13 +1696,13 @@ def mlp_fused(xp4: jax.Array, w_guf: "QuantLinear", w_down: "QuantLinear",
     consts = [ab4, sc4, eye]
     if s6g:
         eddg = jnp.asarray(_dd_expand_np(Kg, w_guf.layout))
-        eyeg = jnp.asarray(_eye_sm_np(2 * kbg))
+        eyeg = jnp.asarray(_eye_operand(2 * kbg))
         in_specs += [pl.BlockSpec(eddg.shape, const),
                      pl.BlockSpec(eyeg.shape, const)]
         consts += [eddg, eyeg]
     if s6d:
         eddd = jnp.asarray(_dd_expand_np(Kd, w_down.layout))
-        eyed = jnp.asarray(_eye_sm_np(2 * kbd))
+        eyed = jnp.asarray(_eye_operand(2 * kbd))
         in_specs += [pl.BlockSpec(eddd.shape, const),
                      pl.BlockSpec(eyed.shape, const)]
         consts += [eddd, eyed]
@@ -1773,7 +1788,7 @@ def _qmatmul_pipelined(xp, ql, B, N, K, kb, block_n, out_dtype, interpret):
     operands = [xp, *arrays]
     if s6:
         edd = jnp.asarray(_dd_expand_np(K, ql.layout))
-        eye = jnp.asarray(_eye_sm_np(2 * kb))
+        eye = jnp.asarray(_eye_operand(2 * kb))
         in_specs += [pl.BlockSpec(edd.shape, lambda i: (0, 0)),
                      pl.BlockSpec(eye.shape, lambda i: (0, 0))]
         operands += [edd, eye]

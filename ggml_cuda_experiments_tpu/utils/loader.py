@@ -92,7 +92,9 @@ def load_container(path, lazy: bool = True) -> dict[str, np.ndarray]:
         head = f.read(12)
         assert head[:4] == _MAGIC, f"{path} is not a GCTC container"
         version, n = struct.unpack("<II", head[4:12])
-        assert version == _VERSION, f"unsupported version {version}"
+        # v3 reads v2 content unchanged (v3 only ADDS the optional "~s6"
+        # name token and "d" field) — accept both on read, write v3
+        assert version in (2, _VERSION), f"unsupported version {version}"
         (data_offset,) = struct.unpack("<Q", f.read(8))
         entries = []
         for _ in range(n):
