@@ -53,7 +53,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ggml_cuda_experiments_tpu.ops.quant_matmul import (
     QuantLinear, _block_sums, _chunk8_compute, _dd_expand_np,
-    _decode_es_em_s6, _eye_sm_np, _quant_rows_blockwise, chunk8_plan,
+    _decode_es_em_s6, _eye_operand, _quant_rows_blockwise, chunk8_plan,
     permute_activations, QK_K,
 )
 from ggml_cuda_experiments_tpu.utils.platform import interpret_default
@@ -424,7 +424,7 @@ def attention_fused(
         operands.append(eddw)
     if s6q or s6w:
         assert KQ == KW
-        eyesm = jnp.asarray(_eye_sm_np(2 * kb))
+        eyesm = jnp.asarray(_eye_operand(2 * kb))
         in_specs.append(pl.BlockSpec(eyesm.shape, cmap))
         operands.append(eyesm)
     if s6q:

@@ -753,7 +753,11 @@ def _qmatmul_chunk6(xp, ql, N, K, kb, block_n, out_dtype, interpret):
     """Dispatch for the q6_k chunk-fold matvec (see _chunk6_kernel).
     xp is in the q6 (16-block) lane order."""
     kh = K // 2
-    bn = block_n or max(128, (8_388_608 // K) // 128 * 128)
+    if block_n is None:
+        cap = max(128, (8_388_608 // K) // 128 * 128)
+        bn = _bn_no_pad(N, cap) or cap        # zero-pad tiling first
+    else:
+        bn = block_n
     bn = min(bn, N)
     Np = -(-N // bn) * bn
 
@@ -1047,6 +1051,11 @@ def qmatmul(
         budget_elems = 4_000_000 if use_vpu else 2_000_000
         bn_auto = max(128, (budget_elems // K) // 128 * 128)
         block_n = min(1024 if use_vpu else 512, bn_auto)
+        if N > block_n:
+            # zero-pad tiling (see chunk8_plan): an N % bn != 0 dispatch
+            # jnp.pads the whole weight INSIDE the jit, which a decode
+            # scan re-executes every step
+            block_n = _bn_no_pad(N, block_n, min_bn=512) or block_n
     bn = min(block_n, N)
     Np = -(-N // bn) * bn
 
@@ -1150,6 +1159,19 @@ def qmatmul(
         interpret=interpret_default(interpret),
     )(*operands)
     return out[:B, :N]
+
+
+def _bn_no_pad(N: int, cap: int, min_bn: int = 1024) -> int:
+    """Largest 128-multiple row tile <= cap with N % bn == 0 (so the
+    dispatch never jnp.pads the weight — see chunk8_plan's zero-pad note),
+    or 0 when divisors would force tiles below ``min_bn``."""
+    if N % 128 != 0:
+        return 0
+    units = N // 128
+    for k in range(cap // 128, max(min_bn // 128, 1) - 1, -1):
+        if units % k == 0:
+            return 128 * k
+    return 0
 
 
 def _row_splits(bn: int, target: int = 1024) -> tuple[int, ...]:
@@ -1295,16 +1317,29 @@ def chunk8_plan(N: int, K: int, block_n: int | None = None,
             # big tiles lose — bn=512 measured best at (4096, 12288)
             # (59.6 us/call vs 66.7 at 2048, 88.0 at 4096;
             # tools/shape_probe.py)
-            bn = 512
+            cap = 512
         else:
-            bn = min(4096, int(3.2e7) // K // 128 * 128)
-        if N > bn:
-            steps = -(-N // bn)
-            bn = -(-N // steps // 128) * 128          # minimize padding
+            cap = min(4096, int(3.2e7) // K // 128 * 128)
+        if N > cap:
+            # ZERO-pad tilings first: a bn with N % bn == 0 avoids the
+            # jnp.pad row copy in the dispatch — which XLA does NOT hoist
+            # out of a decode scan, so any padded tensor re-copies its
+            # whole quantized payload every step (measured: the q4_k
+            # lm_head [32000, 4096] ran at 29% of the HBM roofline inside
+            # the scan, 345.7 us vs ~120, purely from the 32768-row pad;
+            # tools/nonlayer_probe.py round 4). Prefer the largest
+            # 128-multiple divisor tile >= 1024; fall back to the
+            # minimal-pad tiling when divisors force tiny tiles.
+            bn = _bn_no_pad(N, cap)
+            if bn == 0:
+                steps = -(-N // cap)
+                bn = -(-N // steps // 128) * 128      # minimize padding
         else:
             bn = N if N % 128 == 0 else -(-N // 128) * 128
         if bn == N and N >= 2048:
-            bn = -(-N // 2 // 128) * 128              # >= 2 steps
+            half = N // 2
+            bn = (half if half % 128 == 0
+                  else -(-N // 2 // 128) * 128)       # >= 2 steps
     else:
         bn = block_n
     bn = min(bn, -(-N // 128) * 128)
@@ -1443,7 +1478,11 @@ def _qmatmul_chunk(xp, ql, N, K, kb, block_n, out_dtype, interpret):
     s6 = ql.enc == "s6" and ql.fmt == "q4_k"
     fields = _fields(ql)
     kh = K // 2
-    bn = block_n or max(128, (8_388_608 // K) // 128 * 128)
+    if block_n is None:
+        cap = max(128, (8_388_608 // K) // 128 * 128)
+        bn = _bn_no_pad(N, cap) or cap        # zero-pad tiling first
+    else:
+        bn = block_n
     bn = min(bn, N)
     Np = -(-N // bn) * bn
 
