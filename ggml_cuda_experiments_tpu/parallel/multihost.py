@@ -20,10 +20,15 @@ TPU-native structure:
                             scheduler synchronization is on the token path)
 
 Validation: process-placement logic is unit-tested with mock device lists
-(tests/test_multihost.py); the collective program itself is exercised by
-the single-process multi-device tests (tests/test_tp.py) — the same XLA
-SPMD program runs unchanged under multiple processes, which is the point
-of jax's multi-controller model.
+(tests/test_multihost.py), and the whole layer EXECUTES under a real
+2-process ``jax.distributed`` bootstrap on every test run
+(tests/test_multihost.py::test_real_two_process_distributed_run ->
+tools/multihost_run.py): two OS processes x 4 virtual CPU devices form an
+8-device pod, run init_distributed -> make_pod_mesh -> a cross-process
+psum -> the global-mesh TP step (shard checksums vs the single-process
+reference) -> HostShardedEngine end-to-end. The single-process 8-device
+tests (tests/test_tp.py) cover the same SPMD program at full shape
+coverage.
 """
 
 from __future__ import annotations

@@ -65,3 +65,21 @@ def test_uneven_hosts_rejected():
     devs = _pod(2, 8) + [FakeDevice(99, 2)]
     with pytest.raises(AssertionError):
         multihost.make_pod_mesh(devices=devs)
+
+
+def test_real_two_process_distributed_run():
+    """EXECUTE the multihost layer under an actual 2-process
+    ``jax.distributed`` bootstrap (round-4): tools/multihost_run.py spawns
+    two OS processes x 4 virtual CPU devices each, runs init_distributed
+    -> make_pod_mesh -> a cross-process psum -> the global-mesh TP step
+    (children's shard checksums vs the single-process reference) ->
+    HostShardedEngine end-to-end. The 'same SPMD program under multiple
+    controllers' claim is an executed fact, not an argument."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "/root/repo/tools/multihost_run.py"],
+        capture_output=True, text=True, timeout=840)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    assert "logits vs single-process reference: OK" in r.stdout
