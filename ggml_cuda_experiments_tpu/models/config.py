@@ -31,8 +31,15 @@ class ModelConfig:
     x_quant8: bool = False
     # megakernel gates (both need the matching quantize_params layouts;
     # static jit args, so flipping one retraces — used by the decode
-    # ladder ablations in tools/decode_ladder.py)
-    fuse_attn: bool = True
+    # ladder ablations in tools/decode_ladder.py). Round-4 defaults from
+    # the same-process ladder AFTER the lm_head zero-pad fix removed the
+    # non-layer noise floor: unfused 104.4 / +fused MLP 108.6 (+4.0%) /
+    # +fused attn 107.9 / both 107.5 tok/s at 7B — the fused MLP is the
+    # best rung (reproducing round 3's +1.9% with a cleaner baseline),
+    # while fusing attention ON TOP of it measurably loses (107.5 vs
+    # 108.6), so attention stays opt-in. A resident-copy w_down rework
+    # measured strictly worse and was reverted (PERF.md "megakernels").
+    fuse_attn: bool = False
     fuse_mlp: bool = True
     # mixture-of-experts (0 = dense MLP); see models/moe.py
     n_experts: int = 0
