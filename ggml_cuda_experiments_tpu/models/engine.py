@@ -428,7 +428,13 @@ def _paged_decode_window(params: Params, cfg: ModelConfig, tokens: jax.Array,
     dispatch (dominant on remote/tunneled backends, still material on real
     pods at ~10 ms/token scale). The caller sizes the window so no running
     request can finish inside it. Returns (tokens [steps, B], final tokens
-    [B], pool)."""
+    [B], final lengths [B], pool); lengths advance ACTIVE slots only, so
+    the returned array can serve as the next window's input directly (the
+    engine keeps it on device — round 4: per-pass re-uploads of
+    lengths/page_table/active were a per-pass host->device transfer on
+    the dispatch path for state the device can carry itself)."""
+    adv = active.astype(jnp.int32)
+
     def body(carry, w):
         toks, lens, pool = carry
         logits, pool = _paged_decode_step(
@@ -436,11 +442,11 @@ def _paged_decode_window(params: Params, cfg: ModelConfig, tokens: jax.Array,
             ppcb=ppcb, reduce_axis=reduce_axis)
         nxt = sample(logits, jax.random.fold_in(key, w), sampling)
         nxt = nxt.astype(jnp.int32)
-        return (nxt, lens + 1, pool), nxt
+        return (nxt, lens + adv, pool), nxt
 
-    (last, _, pool), trace = jax.lax.scan(
+    (last, lens_out, pool), trace = jax.lax.scan(
         body, (tokens, lengths, pool), jnp.arange(steps, dtype=jnp.int32))
-    return trace, last, pool
+    return trace, last, lens_out, pool
 
 
 paged_decode_window = functools.partial(
@@ -644,6 +650,15 @@ class Engine:
         self._defer = eos_id is None
         self._tokens_dev = jnp.zeros((max_batch,), jnp.int32)
         self._trace: list[jax.Array] = []      # per-step [max_batch] tokens
+        # Device mirror of (lengths, page_table, active): in steady-state
+        # windowed decode NOTHING about them changes host-side between
+        # scheduler passes (the window advances lengths on device and
+        # returns them), so re-uploading all three every pass puts
+        # host->device transfers on the dispatch path for no reason —
+        # material on tunneled rigs where each upload costs an RTT.
+        # Invalidate on any host mutation (admit / finish-prefill /
+        # release / non-window host increments).
+        self._dev_state = None
 
         # Multi-step decode window: run up to ``decode_window`` decode
         # iterations in ONE dispatch (lax.scan), sized each scheduler pass
@@ -698,23 +713,32 @@ class Engine:
                                self.max_seq_len - len(r.prompt)
                                - r.n_generated) for r in self.running)
                 W = self.decode_window if room >= self.decode_window else 1
+            if self._dev_state is None:
+                self._dev_state = (jnp.asarray(self.lengths),
+                                   jnp.asarray(self.page_table),
+                                   jnp.asarray(active))
+            lens_dev, pt_dev, act_dev = self._dev_state
             if W > 1:
                 self._step_no += W
                 key = jax.random.fold_in(self._key, self._step_no)
-                trace_w, last, self.pool = paged_decode_window(
+                trace_w, last, lens_out, self.pool = paged_decode_window(
                     self.params, self.cfg, self._tokens_dev,
-                    jnp.asarray(self.lengths), jnp.asarray(self.page_table),
-                    self.pool, jnp.asarray(active), key, self.sampling,
+                    lens_dev, pt_dev,
+                    self.pool, act_dev, key, self.sampling,
                     steps=W, ppcb=self.ppcb)
                 nxt_dev = last
                 rows = [trace_w[w] for w in range(W)]
+                # window advanced active slots on device; host mirror does
+                # the same below — the cache stays valid with zero uploads
+                self._dev_state = (lens_out, pt_dev, act_dev)
             else:
                 logits, self.pool = self._decode_fn(
-                    self._tokens_dev,
-                    jnp.asarray(self.lengths), jnp.asarray(self.page_table),
-                    self.pool, jnp.asarray(active))
+                    self._tokens_dev, lens_dev, pt_dev,
+                    self.pool, act_dev)
                 nxt_dev = self._sample(logits).astype(jnp.int32)
                 rows = [nxt_dev]
+                # single step advances lengths host-side only
+                self._dev_state = None
             # Readiness barrier (NOT a transfer): the XLA CPU backend was
             # observed (~1/15 runs) to corrupt the pending sample when a
             # later step ran with a donated pool — waiting for the sampled
@@ -793,6 +817,8 @@ class Engine:
     # -- internals ---------------------------------------------------------
 
     def _admit(self) -> None:
+        if self.waiting:
+            self._dev_state = None      # page_table/active about to change
         if self._nsched is not None:
             for rid, slot, row in self._nsched.admit():
                 req = next(r for r in self.waiting if r.rid == rid)
@@ -874,6 +900,7 @@ class Engine:
             req.generated.append(first)
             self.tokens[slot] = first
         self.lengths[slot] = len(req.prompt)
+        self._dev_state = None          # new active slot + fresh length
 
     def _collect_tokens(self, req: Request) -> list[int]:
         """One host fetch per completed request (deferred mode)."""
@@ -890,6 +917,7 @@ class Engine:
         return sample(logits, key, self.sampling)
 
     def _release(self, req: Request) -> None:
+        self._dev_state = None          # slot leaves the active set
         self.running.remove(req)
         self.slot_req[req.slot] = None
         if self._nsched is None:           # native released its own pages

@@ -41,6 +41,13 @@ def main():
     ap.add_argument("--fmt", default="q4_k")
     ap.add_argument("--seq", type=int, default=512)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--no-pipe", action="store_true",
+                    help="force the XLA dequant+GEMM fallback for "
+                         "prefill-sized matmuls (A/B vs the pipelined "
+                         "dequant kernel)")
+    ap.add_argument("--pipe-bn", type=int, default=0,
+                    help="override the pipelined kernel's row-tile size")
+    ap.add_argument("--modes", default="attn,mlp,attn_mat,mlp_mat,flash")
     args = ap.parse_args()
 
     from ggml_cuda_experiments_tpu.models.config import PRESETS
@@ -48,6 +55,12 @@ def main():
     from ggml_cuda_experiments_tpu.utils import loader
 
     cfg = dataclasses.replace(PRESETS[args.model], x_quant8=True)
+    if args.no_pipe:
+        llama._QPIPE_MAX_ROWS = 0       # GEMMs fall through to qmatmul_xla
+    if args.pipe_bn:
+        import functools as _ft
+        from ggml_cuda_experiments_tpu.ops import quant_matmul as _qm
+        llama.qmatmul = _ft.partial(_qm.qmatmul, block_n=args.pipe_bn)
     T = args.seq
     ckpt = f"/tmp/bench_ckpt_{args.model}_{args.fmt}_v6.gctc"
     if os.path.exists(ckpt):
@@ -103,10 +116,11 @@ def main():
                     h = h + llama._mlp_block(layer, lcfg, h)
                 elif mode == "mlp_mat":
                     x = llama.rms_norm(h, layer["mlp_norm"], lcfg.rms_eps)
-                    gate, up = llama.gate_up_proj(layer, x,
-                                                  xq8=lcfg.x_quant8)
+                    wgu = layer.get("w_gu_f", layer.get("w_gu"))
+                    y = llama.apply_linear(x, wgu, xq8=lcfg.x_quant8)
+                    kd = y.shape[-1] // 2
                     h = h + llama.apply_linear(
-                        up + 1e-6 * gate, layer["w_down"],
+                        y[..., kd:] + 1e-6 * y[..., :kd], layer["w_down"],
                         xq8=lcfg.x_quant8, x_prepermuted=True)
             h = llama.rms_norm(h, params["final_norm"], cfg.rms_eps)
             logits = llama.apply_linear(h[:, -1], params["lm_head"],
@@ -140,7 +154,7 @@ def main():
           f"{L} layers = {lay*L*1e3:6.1f} ms; "
           f"fixed = {(per[L]-lay*L)*1e3:5.1f} ms", flush=True)
 
-    for mode in ("attn", "mlp", "attn_mat", "mlp_mat", "flash"):
+    for mode in args.modes.split(","):
         g = make_prefill(mode)
         pm = {nl: timed(g, nl, args.reps) for nl in (L // 2, L)}
         m = (pm[L] - pm[L // 2]) / (L - L // 2)
