@@ -41,6 +41,11 @@ class ModelConfig:
     # measured strictly worse and was reverted (PERF.md "megakernels").
     fuse_attn: bool = False
     fuse_mlp: bool = True
+    # B==1 decode attention: below this PADDED cache length the whole
+    # layer streams through one XLA fusion instead of the flash_decode
+    # custom call (llama._xla_decode_attention — launch + grid fixed cost
+    # exceed the small cache's full-read DMA). 0 disables.
+    xla_attn_max_cache: int = 1024
     # mixture-of-experts (0 = dense MLP); see models/moe.py
     n_experts: int = 0
     n_active_experts: int = 2

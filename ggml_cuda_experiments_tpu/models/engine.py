@@ -743,9 +743,12 @@ class Engine:
             # observed (~1/15 runs) to corrupt the pending sample when a
             # later step ran with a donated pool — waiting for the sampled
             # tokens (deterministic 0/25 with, 6/25 without) keeps CPU
-            # correct while the tunneled TPU backend returns immediately
-            # and keeps the dispatch pipeline deep.
-            jax.block_until_ready(nxt_dev)
+            # correct. CPU-ONLY since round 4: the race is a CPU-runtime
+            # artifact, and on the tunneled TPU backend a wait is either
+            # an early return (useless) or an RTT-class stall per
+            # scheduler pass (tools/rig_probe.py: ~24 ms) — both wrong.
+            if jax.default_backend() == "cpu":
+                jax.block_until_ready(nxt_dev)
             self._tokens_dev = nxt_dev
             self._trace.extend(rows)
             hit = np.zeros((self.max_batch,), np.uint8)
@@ -760,11 +763,21 @@ class Engine:
                     done_slots.append((req.rid, s))
             if self._nsched is not None:
                 done_slots = self._nsched.step_complete(hit)
-            for rid, slot in done_slots:
-                req = self.slot_req[slot]
-                assert req is not None and req.rid == rid
-                finished[rid] = self._collect_tokens(req)
-                self._release(req)
+            if done_slots:
+                # ONE host fetch for every request finishing this pass
+                # (a per-request np.asarray costs a full RTT each on
+                # tunneled rigs — tools/rig_probe.py: ~24 ms)
+                reqs = []
+                for rid, slot in done_slots:
+                    req = self.slot_req[slot]
+                    assert req is not None and req.rid == rid
+                    reqs.append(req)
+                devs = [self._collect_device(r) for r in reqs]
+                sizes = np.cumsum([int(d.shape[0]) for d in devs])[:-1]
+                flat = np.asarray(jnp.concatenate(devs)) if devs else None
+                for req, vals in zip(reqs, np.split(flat, sizes)):
+                    finished[req.rid] = [int(t) for t in vals]
+                    self._release(req)
             if not self.running:
                 self._trace.clear()
             return finished
@@ -890,7 +903,8 @@ class Engine:
         slot = req.slot
         if self._defer:
             first_dev = self._sample(logits)[0:1].astype(jnp.int32)
-            jax.block_until_ready(first_dev)     # see step(): CPU donation race
+            if jax.default_backend() == "cpu":   # see step(): CPU donation race
+                jax.block_until_ready(first_dev)
             req.first_dev = first_dev
             req.start_step = len(self._trace)
             req.n_generated = 1
@@ -902,14 +916,19 @@ class Engine:
         self.lengths[slot] = len(req.prompt)
         self._dev_state = None          # new active slot + fresh length
 
-    def _collect_tokens(self, req: Request) -> list[int]:
-        """One host fetch per completed request (deferred mode)."""
+    def _collect_device(self, req: Request) -> jax.Array:
+        """Device-side 1-D token array of a completed request (deferred
+        mode); the caller batches the host fetch across requests."""
         rows = self._trace[req.start_step:
                            req.start_step + req.n_generated - 1]
         parts = [req.first_dev]
         if rows:
             parts.append(jnp.stack(rows)[:, req.slot])
-        return [int(t) for t in np.asarray(jnp.concatenate(parts))]
+        return jnp.concatenate(parts)
+
+    def _collect_tokens(self, req: Request) -> list[int]:
+        """One host fetch for a single completed request (deferred mode)."""
+        return [int(t) for t in np.asarray(self._collect_device(req))]
 
     def _sample(self, logits: jax.Array) -> jax.Array:
         self._step_no += 1

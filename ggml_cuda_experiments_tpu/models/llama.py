@@ -213,6 +213,43 @@ def _quantize_rowwise(x: jax.Array, fmt: str = "int8"
 # transformer blocks
 # ---------------------------------------------------------------------------
 
+def _xla_decode_attention(q: jax.Array, cache: "KVCache", li,
+                          lengths: jax.Array, scale: float) -> jax.Array:
+    """Full-read XLA decode attention for SMALL padded caches (B == 1).
+
+    Below ~1024 cached positions the flash_decode custom call is almost
+    pure overhead: its launch + grid-step fixed cost (~50-70 us/layer at
+    7B MHA) exceeds the cost of simply streaming the whole padded layer
+    (16.8 MB at S=1024 ~ 20 us) through one XLA fusion with a mask — no
+    Pallas launch, no per-step bookkeeping, and XLA fuses the dequant /
+    mask / softmax chain. The length-clamped flash kernel wins again for
+    big caches, where dead padded DMA dominates (static-shape dispatch in
+    _attention_block via cfg.xla_attn_max_cache).
+
+    q: [1, Hq, D]; returns [1, Hq, D] f32.
+    """
+    k = cache.k[li]                       # [1, Hkv, S, D]
+    v = cache.v[li]
+    B, Hkv, S, D = k.shape
+    Hq = q.shape[1]
+    r = Hq // Hkv
+    qf = q.reshape(B, Hkv, r, D).astype(jnp.float32) * scale
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    if cache.quantized:
+        kf = kf * cache.k_scale[li][..., None]
+        vf = vf * cache.v_scale[li][..., None]
+    s = jnp.einsum("bhrd,bhsd->bhrs", qf, kf,
+                   preferred_element_type=jnp.float32)
+    pos = jnp.arange(S, dtype=jnp.int32)
+    s = jnp.where(pos[None, None, None, :] < lengths[:, None, None, None],
+                  s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhrs,bhsd->bhrd", p, vf,
+                   preferred_element_type=jnp.float32)
+    return o.reshape(B, Hq, D)
+
+
 def _attention_block(layer: Params, cfg: ModelConfig, h: jax.Array,
                      cache: "KVCache", li, positions, *, decode: bool,
                      reduce_axis: str | None = None, b0=0, valid=None):
@@ -288,15 +325,24 @@ def _attention_block(layer: Params, cfg: ModelConfig, h: jax.Array,
 
     if decode:
         if not micro:
-            # full stacked cache into the kernel; the layer is picked in
-            # the BlockSpec index map (scalar prefetch). An XLA slice
-            # (cache.k[li]) feeding the custom call materializes the whole
-            # layer — ~16 MB of dead HBM traffic per layer at 7B shapes.
-            o = flash_decode(
-                q[:, 0],                   # [B, Hq, D]
-                cache.k, cache.v, lengths + 1, layer=li,
-                k_scale=cache.k_scale, v_scale=cache.v_scale,
-            )[:, None]                     # [B, 1, Hq, D]
+            S_pad = cache.k.shape[3]
+            if B == 1 and S_pad <= cfg.xla_attn_max_cache:
+                # small padded cache: one XLA fusion beats the custom
+                # call's launch + grid overhead (see _xla_decode_attention)
+                o = _xla_decode_attention(
+                    q[:, 0], cache, li, lengths + 1,
+                    float(1.0 / D ** 0.5))[:, None]
+            else:
+                # full stacked cache into the kernel; the layer is picked
+                # in the BlockSpec index map (scalar prefetch). An XLA
+                # slice (cache.k[li]) feeding the custom call materializes
+                # the whole layer — ~16 MB of dead HBM traffic per layer
+                # at 7B shapes.
+                o = flash_decode(
+                    q[:, 0],               # [B, Hq, D]
+                    cache.k, cache.v, lengths + 1, layer=li,
+                    k_scale=cache.k_scale, v_scale=cache.v_scale,
+                )[:, None]                 # [B, 1, Hq, D]
         else:
             def layer_rows(arr):
                 """This layer's rows [B, Hkv, S, ...] for batch b0:b0+B."""
