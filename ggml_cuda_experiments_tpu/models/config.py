@@ -31,21 +31,25 @@ class ModelConfig:
     x_quant8: bool = False
     # megakernel gates (both need the matching quantize_params layouts;
     # static jit args, so flipping one retraces — used by the decode
-    # ladder ablations in tools/decode_ladder.py). Round-4 defaults from
-    # the same-process ladder AFTER the lm_head zero-pad fix removed the
-    # non-layer noise floor: unfused 104.4 / +fused MLP 108.6 (+4.0%) /
-    # +fused attn 107.9 / both 107.5 tok/s at 7B — the fused MLP is the
-    # best rung (reproducing round 3's +1.9% with a cleaner baseline),
-    # while fusing attention ON TOP of it measurably loses (107.5 vs
-    # 108.6), so attention stays opt-in. A resident-copy w_down rework
-    # measured strictly worse and was reverted (PERF.md "megakernels").
-    fuse_attn: bool = False
+    # ladder ablations in tools/decode_ladder.py). Defaults from THREE
+    # same-process 7B ladders (r3 + two r4 post-lm_head-fix): per-rung
+    # means unfused 103.5 / +MLP 105.9 / +attn 106.6 / both 107.8 tok/s,
+    # with run-to-run drift of the SAME config up to ~5% (107.5 vs 112.7
+    # hours apart) — rankings are not stable between runs, but both-fused
+    # has the best mean AND best single (112.7) and never lost to
+    # unfused, so both gates default on. Full ladders in PERF.md
+    # "megakernels". A resident-copy w_down rework measured strictly
+    # worse and was reverted (dead end, PERF.md).
+    fuse_attn: bool = True
     fuse_mlp: bool = True
-    # B==1 decode attention: below this PADDED cache length the whole
-    # layer streams through one XLA fusion instead of the flash_decode
-    # custom call (llama._xla_decode_attention — launch + grid fixed cost
-    # exceed the small cache's full-read DMA). 0 disables.
-    xla_attn_max_cache: int = 1024
+    # B==1 decode attention: at or below this PADDED cache length the
+    # whole layer streams through one XLA fusion instead of the
+    # flash_decode custom call (llama._xla_decode_attention). Default 0
+    # (OFF): at short generation lengths the full padded-cache read
+    # (16.8 MB/layer at S=1024) costs more than the launch+grid overhead
+    # it saves (ladder: -1.5 to -4.5%); it only pays when valid length
+    # approaches the padded cache. Opt in for near-full-cache decode.
+    xla_attn_max_cache: int = 0
     # mixture-of-experts (0 = dense MLP); see models/moe.py
     n_experts: int = 0
     n_active_experts: int = 2
