@@ -1319,6 +1319,15 @@ def chunk8_plan(N: int, K: int, block_n: int | None = None,
             # tools/shape_probe.py)
             cap = 512
         else:
+            # bn=4096 stays the cap: a round-4 sweep briefly "measured"
+            # bn=8192 at 88.8% vs 86.2, but that was a PROTOCOL ARTIFACT —
+            # the forced block_n gave the pair's SMALL side (N=8192) a
+            # 1-step grid, which serializes DMA/compute, inflating t_small
+            # and therefore the marginal. Two full driver-protocol runs
+            # with an 8192 default measured 77.5/77.8% (inferred per-byte
+            # rate of 8192-row tiles ~79.5% vs 86.2 at 4096: the bigger
+            # tile's subtile chain drains without overlap for longer).
+            # Sweep tools must keep >= 2 grid steps on BOTH pair sizes.
             cap = min(4096, int(3.2e7) // K // 128 * 128)
         if N > cap:
             # ZERO-pad tilings first: a bn with N % bn == 0 avoids the

@@ -43,6 +43,15 @@ def main():
             pass
         elif v.startswith("bn"):
             kw["block_n"] = int(v[2:])
+            # PROTOCOL GUARD: a forced block_n >= N_SMALL gives the pair's
+            # small side a 1-step grid (serialized DMA/compute), inflating
+            # t_small and therefore the marginal — the round-4 bn=8192
+            # "88.8%" artifact. Both pair sizes must keep >= 2 steps.
+            if kw["block_n"] * 2 > bench.N_SMALL:
+                print(f"VARIANT {v}: SKIPPED (block_n {kw['block_n']} "
+                      f"would give N_SMALL={bench.N_SMALL} a 1-step grid "
+                      f"— marginal would be an artifact)")
+                continue
         elif v.startswith("sub"):
             set_target(int(v[3:]))
         else:
