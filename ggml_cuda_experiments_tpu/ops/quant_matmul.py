@@ -537,9 +537,16 @@ def from_oracle(t, layout: str = "std", enc: str = "auto") -> QuantLinear:
         lo4 = v & 0x0F
         hi2 = v >> 4                          # 2-bit high planes
         kq = k // 4
-        qh = (hi2[:, :kq] | (hi2[:, kq:2 * kq] << 2)
-              | (hi2[:, 2 * kq:3 * kq] << 4)
-              | (hi2[:, 3 * kq:] << 6)).astype(np.uint8).view(np.int8)
+        # byte i packs the four planes of lanes (i, i+K/4, i+K/2, i+3K/4)
+        # as TWO signed-friendly nibbles (h0+4*h1 | (h2+4*h3)^8 << 4, via
+        # _pack_halves) so the kernel unpacks with the same cheap f32
+        # floor chain as the 4-bit payload — no int32 widening/shifts
+        # (round 4; the old 4x2-bit bitfield packing needed an int8->
+        # int32 relayout plus four shift/AND/cast chains per tile)
+        u_pairs = np.concatenate(
+            [hi2[:, :kq] + 4 * hi2[:, kq:2 * kq],
+             hi2[:, 2 * kq:3 * kq] + 4 * hi2[:, 3 * kq:]], axis=1)
+        qh = _pack_halves(u_pairs)
         # effective per-16-block scale (signed: sc is int8); bf16 rounding
         # is ~0.4%, inside the 6-bit step (~1.6%) — same budget argument as
         # Q4_K-E. Scale-block lane order is natural under _perm_q6.
@@ -718,24 +725,30 @@ def _chunk6_kernel(a_ref, b_ref, sc_ref, qs_ref, qh_ref, s1_ref, o_ref, *,
           - 32*(xl_i + xh_i)
 
     The 2-bit planes come 4-to-a-byte covering lanes (i, i+K/4, i+K/2,
-    i+3K/4) — extraction is int32 shifts/ands on quarter-width tiles (no
-    lane expand, the same no-shuffle property as the nibble halves). The
-    per-block constants (128*xsl - 32*xs) fold into sc_ref[0] outside."""
+    i+3K/4), stored as TWO signed-friendly nibbles (h0+4h1 | (h2+4h3)^8,
+    see from_oracle) — so extraction is the same f32 floor chain as the
+    payload nibbles: one int8->f32 cast + ~8 VPU flops, no int32
+    widening relayout and no shifts (the old bitfield packing measured
+    the q6 head at 45% of its stream floor). The per-block constants
+    (128*xsl - 32*xs) fold into sc_ref[0] outside."""
     p = qs_ref[...]                                   # [bn, K/2] int8
     pf = p.astype(jnp.float32)
     hi4 = jnp.floor(pf * 0.0625 + 8.0)
     t = pf * a_ref[...] + hi4 * b_ref[...]            # [bn, K/2]
 
-    u = qh_ref[...].astype(jnp.int32) & 255           # [bn, K/4] 0..255
-    kq = u.shape[1]
+    p2f = qh_ref[...].astype(jnp.float32)             # [bn, K/4]
+    u_hi = jnp.floor(p2f * 0.0625 + 8.0)              # h2 + 4*h3
+    u_lo = p2f + 128.0 - 16.0 * u_hi                  # h0 + 4*h1
+    h1 = jnp.floor(u_lo * 0.25)
+    h0 = u_lo - 4.0 * h1
+    h3 = jnp.floor(u_hi * 0.25)
+    h2 = u_hi - 4.0 * h3
+    kq = p2f.shape[1]
     xl1 = a_ref[0:1, :kq]
     xl2 = a_ref[0:1, kq:]
     xh1 = b_ref[0:1, :kq] + 16.0 * xl1                # xh = b + 16a
     xh2 = b_ref[0:1, kq:] + 16.0 * xl2
-    t2 = ((u & 3).astype(jnp.float32) * xl1
-          + ((u >> 2) & 3).astype(jnp.float32) * xl2
-          + ((u >> 4) & 3).astype(jnp.float32) * xh1
-          + ((u >> 6) & 3).astype(jnp.float32) * xh2)  # [bn, K/4]
+    t2 = h0 * xl1 + h1 * xl2 + h2 * xh1 + h3 * xh2    # [bn, K/4]
 
     kb = s1_ref.shape[1]
     z = t[:, :kb]
@@ -1870,9 +1883,12 @@ def dequantize_jnp(ql: QuantLinear, dtype=jnp.float32) -> jax.Array:
         lo = (p & 0xF).astype(jnp.float32)
         hi = (((p >> 4) & 0xF) ^ 8).astype(jnp.float32)
         nib = jnp.concatenate([lo, hi], axis=1)       # [N, K] lane order
-        u = ql.qh.astype(jnp.int32) & 255
+        # qh: two signed-friendly nibbles (h0+4h1 | (h2+4h3)^8 per byte)
+        p2 = ql.qh.astype(jnp.int32)
+        u_lo = (p2 & 0xF)                             # h0 + 4*h1
+        u_hi = ((p2 >> 4) & 0xF) ^ 8                  # h2 + 4*h3
         h = jnp.concatenate(
-            [u & 3, (u >> 2) & 3, (u >> 4) & 3, (u >> 6) & 3],
+            [u_lo & 3, u_lo >> 2, u_hi & 3, u_hi >> 2],
             axis=1).astype(jnp.float32)
         es = jnp.tile(ql.es.astype(jnp.float32), (1, 16))
         wp = es * (nib + 16.0 * h - 32.0)

@@ -39,7 +39,13 @@ _MAGIC = b"GCTC"
 #       tensor names are "<path>#<fmt>[+<layout>]#NxK#<field>"
 #   v3: q4_k gains the "s6" streaming scale encoding (name token
 #       "q4_k~s6[+<layout>]", extra "d" field holding bf16 d|dmin)
-_VERSION = 3
+#   v4: q6_k "qh" planes re-packed as two signed-friendly nibbles
+#       (h0+4h1 | (h2+4h3)^8 per byte — quant_matmul.from_oracle) instead
+#       of the 4x2-bit bitfield; same shape, different bit meaning, so
+#       pre-v4 containers holding q6_k tensors are REJECTED on read
+#       (re-quantize from the source weights); v2/v3 content without
+#       q6_k reads unchanged
+_VERSION = 4
 _DTYPES = {0: np.dtype(np.float32), 1: np.dtype(np.float16),
            2: np.dtype(ml_dtypes.bfloat16), 3: np.dtype(np.int8),
            4: np.dtype(np.uint8), 5: np.dtype(np.int32)}
@@ -92,9 +98,9 @@ def load_container(path, lazy: bool = True) -> dict[str, np.ndarray]:
         head = f.read(12)
         assert head[:4] == _MAGIC, f"{path} is not a GCTC container"
         version, n = struct.unpack("<II", head[4:12])
-        # v3 reads v2 content unchanged (v3 only ADDS the optional "~s6"
-        # name token and "d" field) — accept both on read, write v3
-        assert version in (2, _VERSION), f"unsupported version {version}"
+        # v4 reads v2/v3 content unchanged EXCEPT q6_k (whose qh bit
+        # meaning changed in v4 — see the version history above)
+        assert version in (2, 3, _VERSION), f"unsupported version {version}"
         (data_offset,) = struct.unpack("<Q", f.read(8))
         entries = []
         for _ in range(n):
@@ -104,6 +110,11 @@ def load_container(path, lazy: bool = True) -> dict[str, np.ndarray]:
             shape = struct.unpack(f"<{ndim}I", f.read(4 * ndim))
             off, nbytes = struct.unpack("<QQ", f.read(16))
             entries.append((name, code, shape, off, nbytes))
+        if version < 4 and any("#q6_k" in name for name, *_ in entries):
+            raise ValueError(
+                f"{path} is a v{version} container holding q6_k tensors; "
+                "the q6_k qh packing changed in v4 (same shape, different "
+                "bit meaning) — re-quantize from the source weights")
 
     if lazy:
         buf = np.memmap(path, dtype=np.uint8, mode="r")
