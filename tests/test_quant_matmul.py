@@ -497,3 +497,32 @@ def test_s6_wof_and_mlp_fused(rng):
     mid[:, np.asarray(qm._perm(kd))] = mid_p
     want = mid @ dn_ref.T
     assert np.abs(got - want).max() < 2e-2 * np.abs(want).max()
+
+
+def test_plans_zero_pad_for_model_shapes():
+    """The B=1 dispatch tile plans must produce ZERO row padding for every
+    128-multiple N — a padded plan jnp.pads the whole weight INSIDE the
+    jit, which XLA does not hoist out of a decode scan (round 4: the q4_k
+    lm_head [32000, 4096] re-copied 78 MiB every step, 3x the matvec
+    cost; tools/nonlayer_probe.py)."""
+    from ggml_cuda_experiments_tpu.ops.quant_matmul import (
+        _bn_no_pad, chunk8_plan)
+
+    for n, k in ((32000, 4096), (32768, 4096), (24576, 4096),
+                 (12288, 4096), (8192, 4096),
+                 (4096, 4096), (4096, 12288), (32000, 2048), (5632, 2048)):
+        p = chunk8_plan(n, k)
+        assert p["Np"] == n, (n, k, p)
+        assert n % p["bn"] == 0
+    # 11008 = 128 * 86 = 128 * 2 * 43: no >=1024 divisor tile exists, so
+    # the minimal-pad fallback applies (1.2% pad; real models pad the
+    # intermediate to 12288 at quantize time anyway)
+    p = chunk8_plan(11008, 4096)
+    assert p["Np"] - 11008 <= 128
+    # benched shapes keep their measured-optimal plans
+    assert chunk8_plan(32768, 4096)["bn"] == 4096
+    assert chunk8_plan(4096, 12288)["bn"] == 512
+    # helper contract: only 128-multiple N, tiles >= min_bn
+    assert _bn_no_pad(32000, 4096) == 3200
+    assert _bn_no_pad(32001, 4096) == 0
+    assert _bn_no_pad(11008, 4096, min_bn=1024) == 0   # 86 = 2*43
