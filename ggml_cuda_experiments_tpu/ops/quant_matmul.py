@@ -1177,13 +1177,23 @@ def qmatmul(
 def _bn_no_pad(N: int, cap: int, min_bn: int = 1024) -> int:
     """Largest 128-multiple row tile <= cap with N % bn == 0 (so the
     dispatch never jnp.pads the weight — see chunk8_plan's zero-pad note),
-    or 0 when divisors would force tiles below ``min_bn``."""
+    or 0 when divisors would force tiles below ``min_bn``.
+
+    Falls back through smaller min_bn tiers (512, 256) before giving up:
+    extra per-grid-step fixed cost (~0.7 us/step) is far cheaper than the
+    padded dispatch's whole-weight jnp.pad copy on every call (e.g. the
+    llama3-8b lm_head [128256, 4096]: no >=1024 divisor tile exists, and
+    the minimal-pad plan would re-copy 246 MB per decode step; bn=768 at
+    167 steps costs ~0.1 ms of step overhead instead)."""
     if N % 128 != 0:
         return 0
     units = N // 128
-    for k in range(cap // 128, max(min_bn // 128, 1) - 1, -1):
-        if units % k == 0:
-            return 128 * k
+    for floor_bn in (min_bn, 512, 256):
+        if floor_bn > min_bn:
+            continue
+        for k in range(cap // 128, max(floor_bn // 128, 1) - 1, -1):
+            if units % k == 0:
+                return 128 * k
     return 0
 
 

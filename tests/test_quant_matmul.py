@@ -514,15 +514,18 @@ def test_plans_zero_pad_for_model_shapes():
         p = chunk8_plan(n, k)
         assert p["Np"] == n, (n, k, p)
         assert n % p["bn"] == 0
-    # 11008 = 128 * 86 = 128 * 2 * 43: no >=1024 divisor tile exists, so
-    # the minimal-pad fallback applies (1.2% pad; real models pad the
-    # intermediate to 12288 at quantize time anyway)
-    p = chunk8_plan(11008, 4096)
-    assert p["Np"] - 11008 <= 128
+    # no >=1024 divisor tile exists for these, but the tiered fallback
+    # still finds a ZERO-pad tile (a few extra grid steps beat re-copying
+    # the whole weight through jnp.pad on every call):
+    # 11008 = 128*2*43 -> bn=256; llama3-8b head 128256 = 128*2*3*167
+    # -> bn=768
+    for n, want_bn in ((11008, 256), (128256, 768)):
+        p = chunk8_plan(n, 4096)
+        assert p["Np"] == n and p["bn"] == want_bn, (n, p)
+    assert _bn_no_pad(11008, 4096) == 256
     # benched shapes keep their measured-optimal plans
     assert chunk8_plan(32768, 4096)["bn"] == 4096
     assert chunk8_plan(4096, 12288)["bn"] == 512
-    # helper contract: only 128-multiple N, tiles >= min_bn
+    # helper contract: only 128-multiple N; tiered fallback below
     assert _bn_no_pad(32000, 4096) == 3200
     assert _bn_no_pad(32001, 4096) == 0
-    assert _bn_no_pad(11008, 4096, min_bn=1024) == 0   # 86 = 2*43
