@@ -1210,9 +1210,21 @@ def _row_splits(bn: int, target: int = 1024) -> tuple[int, ...]:
     return tuple(sizes)
 
 
+# Measurement-only knobs (tools/roofline_sweep.py): append N extra ignored
+# operand windows to the chunk8 dispatch to price Pallas' per-grid-step
+# window bookkeeping — "const" windows have a (0,0) index map (prologue
+# fetch only), "tiled" windows stream one [bn, 128] int8 tile per step
+# (known DMA bytes, so the bookkeeping residue is measured - expected-DMA).
+CHUNK8_EXTRA_CONST_WINDOWS = 0
+CHUNK8_EXTRA_TILED_WINDOWS = 0
+
+
 def _chunk8_kernel(*refs, fmt: str, n_segs: int = 1,
                    splits: tuple[int, ...] | None = None,
-                   s6: bool = False):
+                   s6: bool = False, n_extra: int = 0):
+    if n_extra:
+        # extra probe windows sit between the real operands and o_ref
+        refs = refs[:-(n_extra + 1)] + (refs[-1],)
     """Integer-dot B=1 q4 matvec (llama.cpp Q4_K x Q8 analog,
     ggml vec_dot_q4_K_q8_K re-asked for the MXU).
 
@@ -1256,6 +1268,16 @@ def _chunk8_kernel(*refs, fmt: str, n_segs: int = 1,
         n_segs=n_segs, splits=splits)
 
 
+# Scale-fold placement for _chunk8_compute:
+#   "full"    — (round-3 shipped) concat all subtile int32 partials, then one
+#               [bn, Kb] f32 scale fold at the end of the grid step;
+#   "subtile" — fold each ~1024-row subtile's scales right after its dots,
+#               so subtile i's VPU fold can overlap subtile i+1's MXU dots
+#               and the [bn, Kb] f32 temporaries never materialize (the
+#               drain at the end of each grid step shrinks to one subtile).
+CHUNK8_FOLD = "subtile"
+
+
 def _chunk8_compute(ea_ref, eb_ref, sc, qs_ref, es, em, *,
                     n_segs: int, splits: tuple[int, ...] | None):
     """The chunk8 compute body on one weight block (refs or arrays for
@@ -1283,6 +1305,24 @@ def _chunk8_compute(ea_ref, eb_ref, sc, qs_ref, es, em, *,
                 jax.lax.dot_general(p, eb_ref[...], dims,
                                     preferred_element_type=jnp.int32))
 
+    sa, sb = sc[2:3], sc[3:4]                         # [1, Kb] f32
+
+    def fold(zl_i, zp_i, r0, rows):
+        z = (sa * zl_i.astype(jnp.float32) + sb * zp_i.astype(jnp.float32)
+             + sc[0:1])
+        y = es[r0:r0 + rows] * z - em[r0:r0 + rows] * sc[1:2]
+        return jnp.sum(y, axis=1)                     # [rows]
+
+    if CHUNK8_FOLD == "subtile":
+        ys, r0 = [], 0
+        for rows in splits:
+            p = qs_ref[r0:r0 + rows, :]               # [rows, K/2] int8
+            zl_i, zp_i = dots(p, p & 0x0F)
+            ys.append(fold(zl_i, zp_i, r0, rows))
+            r0 += rows
+        y = ys[0] if len(ys) == 1 else jnp.concatenate(ys)
+        return y[None, :]
+
     zls, zps, r0 = [], [], 0
     for rows in splits:
         p = qs_ref[r0:r0 + rows, :]                   # [rows, K/2] int8
@@ -1292,11 +1332,7 @@ def _chunk8_compute(ea_ref, eb_ref, sc, qs_ref, es, em, *,
         r0 += rows
     zl = zls[0] if len(zls) == 1 else jnp.concatenate(zls, axis=0)
     zp = zps[0] if len(zps) == 1 else jnp.concatenate(zps, axis=0)
-    sa, sb = sc[2:3], sc[3:4]                         # [1, Kb] f32
-    z = (sa * zl.astype(jnp.float32) + sb * zp.astype(jnp.float32)
-         + sc[0:1])
-    y = es * z - em * sc[1:2]                         # [bn, Kb]
-    return jnp.sum(y, axis=1)[None, :]
+    return fold(zl, zp, 0, qs_ref.shape[0])[None, :]
 
 
 def _block_sums(v, kb, n_segs):
@@ -1487,9 +1523,17 @@ def _qmatmul_chunk8(xp, ql, N, K, kb, block_n, out_dtype, interpret):
                      pl.BlockSpec((bn, kb), tile),
                      pl.BlockSpec((bn, kb), tile)]
         operands += [arrays[0], s1, s2]
+    n_extra = CHUNK8_EXTRA_CONST_WINDOWS + CHUNK8_EXTRA_TILED_WINDOWS
+    if n_extra:                               # measurement-only (see flags)
+        for _ in range(CHUNK8_EXTRA_CONST_WINDOWS):
+            in_specs.append(pl.BlockSpec((128, 128), const))
+            operands.append(jnp.zeros((128, 128), jnp.int8))
+        for _ in range(CHUNK8_EXTRA_TILED_WINDOWS):
+            in_specs.append(pl.BlockSpec((bn, 128), tile))
+            operands.append(jnp.zeros((Np, 128), jnp.int8))
     out = pl.pallas_call(
         functools.partial(_chunk8_kernel, fmt=ql.fmt, n_segs=segs,
-                          splits=splits, s6=s6),
+                          splits=splits, s6=s6, n_extra=n_extra),
         out_shape=jax.ShapeDtypeStruct((1, Np), jnp.float32),
         grid=(Np // bn,),
         in_specs=in_specs,

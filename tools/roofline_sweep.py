@@ -39,6 +39,9 @@ def main():
     for v in args.variants.split(","):
         kw = dict(use_vpu=True, x_quant8=True)
         qm._row_splits = orig_splits
+        qm.CHUNK8_FOLD = "subtile"        # module default
+        qm.CHUNK8_EXTRA_CONST_WINDOWS = 0
+        qm.CHUNK8_EXTRA_TILED_WINDOWS = 0
         if v == "base":
             pass
         elif v.startswith("bn"):
@@ -54,6 +57,12 @@ def main():
                 continue
         elif v.startswith("sub"):
             set_target(int(v[3:]))
+        elif v.startswith("fold_"):
+            qm.CHUNK8_FOLD = v[5:]        # "full" | "subtile"
+        elif v.startswith("cwin"):        # N extra const probe windows
+            qm.CHUNK8_EXTRA_CONST_WINDOWS = int(v[4:])
+        elif v.startswith("twin"):        # N extra tiled probe windows
+            qm.CHUNK8_EXTRA_TILED_WINDOWS = int(v[4:])
         else:
             print(f"unknown variant {v}")
             continue
