@@ -892,8 +892,15 @@ def _vpu2_kernel(*refs, fmt: str, n_segs: int = 1, s6: bool = False):
     o_ref[...] = acc[None, :].astype(o_ref.dtype)
 
 
+# Measurement-only phase gate for _pipe_kernel (tools/pipe_probe.py):
+# "both" (production), "dequant" (skip the MXU dot — prices DMA + VPU
+# dequant), "dot" (skip the dequant — prices DMA + MXU dot on stale
+# scratch). Isolates which unit bounds the prefill GEMM.
+PIPE_PHASE = "both"
+
+
 def _pipe_kernel(*refs, fmt: str, n_tiles: int, n_segs: int = 1,
-                 s6: bool = False):
+                 s6: bool = False, phase: str = "both"):
     """Software-pipelined matvec: the VPU dequantizes tile i into a VMEM
     scratch slot while the MXU multiplies tile i-1 from the other slot —
     the two units have no data dependency inside a grid step, so Mosaic can
@@ -906,23 +913,29 @@ def _pipe_kernel(*refs, fmt: str, n_tiles: int, n_segs: int = 1,
     i = pl.program_id(0)
     slot = jax.lax.rem(i, 2)
 
-    @pl.when(i < n_tiles)
-    def _dequant():
-        w_lo, w_hi = _dequant_halves(fmt, w_refs, _mosaic_rep, n_segs)
-        if w_hi is None:
-            wbuf[slot] = w_lo.astype(jnp.bfloat16)
-        else:
-            kh = w_lo.shape[1]
-            wbuf[slot, :, :kh] = w_lo.astype(jnp.bfloat16)
-            wbuf[slot, :, kh:] = w_hi.astype(jnp.bfloat16)
+    if phase != "dot":
+        @pl.when(i < n_tiles)
+        def _dequant():
+            w_lo, w_hi = _dequant_halves(fmt, w_refs, _mosaic_rep, n_segs)
+            if w_hi is None:
+                wbuf[slot] = w_lo.astype(jnp.bfloat16)
+            else:
+                kh = w_lo.shape[1]
+                wbuf[slot, :, :kh] = w_lo.astype(jnp.bfloat16)
+                wbuf[slot, :, kh:] = w_hi.astype(jnp.bfloat16)
 
-    @pl.when(i > 0)
-    def _dot():
-        x = x_ref[...].astype(jnp.bfloat16)     # [B, K]
-        o_ref[...] = jax.lax.dot_general(
-            x, wbuf[1 - slot],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    if phase != "dequant":
+        @pl.when(i > 0)
+        def _dot():
+            x = x_ref[...].astype(jnp.bfloat16)     # [B, K]
+            o_ref[...] = jax.lax.dot_general(
+                x, wbuf[1 - slot],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    else:
+        @pl.when(i > 0)
+        def _touch():                           # keep o_ref written (opaque
+            o_ref[...] = jnp.zeros_like(o_ref)  # call: no XLA DCE inside)
 
 
 def _mxu_kernel(*refs, fmt: str, compute_dtype, n_segs: int = 1,
@@ -1217,6 +1230,10 @@ def _row_splits(bn: int, target: int = 1024) -> tuple[int, ...]:
 # (known DMA bytes, so the bookkeeping residue is measured - expected-DMA).
 CHUNK8_EXTRA_CONST_WINDOWS = 0
 CHUNK8_EXTRA_TILED_WINDOWS = 0
+# "stream": skip the unpack/dot/fold entirely and just touch each streamed
+# window — prices the achievable DMA bandwidth for this exact operand
+# pattern (the honest ceiling the kernel's % should be judged against).
+CHUNK8_STREAM_ONLY = False
 
 
 def _chunk8_kernel(*refs, fmt: str, n_segs: int = 1,
@@ -1260,6 +1277,12 @@ def _chunk8_kernel(*refs, fmt: str, n_segs: int = 1,
         es, em = _decode_es_em_s6(sm_ref, dd_ref, edd_ref, eye_ref)
     else:
         ea_ref, eb_ref, sc_ref, qs_ref, s1_ref, s2_ref, o_ref = refs
+        if CHUNK8_STREAM_ONLY:                # measurement-only (see flag)
+            o_ref[...] = (
+                jnp.sum(qs_ref[:, :128].astype(jnp.float32), axis=1)
+                + jnp.sum(s1_ref[...].astype(jnp.float32), axis=1)
+                + jnp.sum(s2_ref[...].astype(jnp.float32), axis=1))[None, :]
+            return
         es = s1_ref[...].astype(jnp.float32)
         em = (8.0 * es if fmt == "q4_0"
               else s2_ref[...].astype(jnp.float32))
@@ -1913,7 +1936,7 @@ def _qmatmul_pipelined(xp, ql, B, N, K, kb, block_n, out_dtype, interpret):
         cp["vmem_limit_bytes"] = vmem_bytes
     out = pl.pallas_call(
         functools.partial(_pipe_kernel, fmt=ql.fmt, n_tiles=n_tiles,
-                          n_segs=_n_segs(K), s6=s6),
+                          n_segs=_n_segs(K), s6=s6, phase=PIPE_PHASE),
         out_shape=jax.ShapeDtypeStruct((Bp, Np), out_dtype),
         grid=(n_tiles + 1,),
         in_specs=in_specs,

@@ -42,6 +42,7 @@ def main():
         qm.CHUNK8_FOLD = "subtile"        # module default
         qm.CHUNK8_EXTRA_CONST_WINDOWS = 0
         qm.CHUNK8_EXTRA_TILED_WINDOWS = 0
+        qm.CHUNK8_STREAM_ONLY = False
         if v == "base":
             pass
         elif v.startswith("bn"):
@@ -59,6 +60,8 @@ def main():
             set_target(int(v[3:]))
         elif v.startswith("fold_"):
             qm.CHUNK8_FOLD = v[5:]        # "full" | "subtile"
+        elif v == "stream":               # DMA-only ceiling probe
+            qm.CHUNK8_STREAM_ONLY = True
         elif v.startswith("cwin"):        # N extra const probe windows
             qm.CHUNK8_EXTRA_CONST_WINDOWS = int(v[4:])
         elif v.startswith("twin"):        # N extra tiled probe windows
