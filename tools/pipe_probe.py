@@ -79,6 +79,9 @@ def main():
             def f(x):
                 def body(_, x):
                     y = qm.qmatmul(x, ql, pipelined=True)
+                    if y.shape[1] < K:           # fold back to [T, K]
+                        y = jnp.concatenate([y] * (-(-K // y.shape[1])),
+                                            axis=1)
                     yk = y[:, :K]                # probe phases can emit NaN
                     yk = jnp.where(jnp.isfinite(yk), yk, 0.0)
                     return (yk * 0.01 + 0.1 * x).astype(jnp.float32)
@@ -93,6 +96,9 @@ def main():
                         x.astype(jnp.bfloat16), wd,
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32)
+                    if y.shape[1] < K:
+                        y = jnp.concatenate([y] * (-(-K // y.shape[1])),
+                                            axis=1)
                     return (y[:, :K] * 0.01 + 0.1 * x).astype(jnp.float32)
                 return jax.lax.fori_loop(0, inner, body, x)
             return f
