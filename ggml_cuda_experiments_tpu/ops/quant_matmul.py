@@ -898,6 +898,64 @@ def _vpu2_kernel(*refs, fmt: str, n_segs: int = 1, s6: bool = False):
 # scratch). Isolates which unit bounds the prefill GEMM.
 PIPE_PHASE = "both"
 
+# Prefill GEMM structure: "sub" (default) dequantizes and dots per ~512-row
+# SUB-TILE in pure SSA form — no scratch ref, so Mosaic's scheduler can
+# overlap sub j+1's VPU dequant with sub j's MXU dot (the same trick that
+# took the chunk8 matvec from 71 to 97%). "slots" is the round-3 design
+# (whole-tile dequant into a 2-slot scratch, dot from the other slot),
+# measured SERIALIZED on v5e: the dot reads wbuf[1-slot] while the dequant
+# writes wbuf[slot] of the SAME ref with a dynamic slot index, and Mosaic
+# cannot prove disjointness, so it orders them — tools/pipe_probe.py reads
+# both ~= dot + dequant (801 us vs dot-only 553 at [24576, 4096] T=512).
+PIPE_MODE = "sub"
+PIPE_SUB_ROWS = 512
+
+
+class _RowSlice:
+    """Adapt a rows-sliced ref/array to the ``ref[...]`` protocol of
+    _dequant_halves."""
+
+    def __init__(self, ref, r0, rows):
+        self.ref, self.r0, self.rows = ref, r0, rows
+
+    @property
+    def shape(self):
+        return (self.rows,) + tuple(self.ref.shape[1:])
+
+    def __getitem__(self, _):
+        return self.ref[self.r0:self.r0 + self.rows, :]
+
+
+def _pipe_sub_kernel(*refs, fmt: str, n_segs: int = 1, s6: bool = False,
+                     splits: tuple[int, ...] = ()):
+    """Per-sub-tile dequant (VPU) + dot (MXU) with SSA temporaries only —
+    see PIPE_MODE. Grid (n_tiles,), no epilogue step, no scratch."""
+    x_ref, w_refs, idx = _unpack_w_refs(refs, fmt, s6)
+    o_ref = refs[idx]
+    x = x_ref[...].astype(jnp.bfloat16)              # [B, K]
+    r0 = 0
+    for rows in splits:
+        sub = {k: _RowSlice(v, r0, rows) for k, v in w_refs.items()
+               if k not in ("edd", "eye")}
+        if s6:
+            sub["edd"], sub["eye"] = w_refs["edd"], w_refs["eye"]
+        w_lo, w_hi = _dequant_halves(fmt, sub, _mosaic_rep, n_segs)
+        dims = (((1,), (1,)), ((), ()))
+        if w_hi is None:
+            acc = jax.lax.dot_general(
+                x, w_lo.astype(jnp.bfloat16), dims,
+                preferred_element_type=jnp.float32)
+        else:
+            kh = w_lo.shape[1]
+            acc = jax.lax.dot_general(
+                x[:, :kh], w_lo.astype(jnp.bfloat16), dims,
+                preferred_element_type=jnp.float32)
+            acc = acc + jax.lax.dot_general(
+                x[:, kh:], w_hi.astype(jnp.bfloat16), dims,
+                preferred_element_type=jnp.float32)
+        o_ref[:, r0:r0 + rows] = acc.astype(o_ref.dtype)
+        r0 += rows
+
 
 def _pipe_kernel(*refs, fmt: str, n_tiles: int, n_segs: int = 1,
                  s6: bool = False, phase: str = "both"):
@@ -1934,6 +1992,24 @@ def _qmatmul_pipelined(xp, ql, B, N, K, kb, block_n, out_dtype, interpret):
     cp = dict(dimension_semantics=("arbitrary",))
     if vmem_bytes is not None:
         cp["vmem_limit_bytes"] = vmem_bytes
+    cost = pl.CostEstimate(
+        flops=2 * Bp * Np * K,
+        bytes_accessed=sum(a.size * a.dtype.itemsize for a in arrays),
+        transcendentals=0)
+    if PIPE_MODE == "sub":
+        out = pl.pallas_call(
+            functools.partial(_pipe_sub_kernel, fmt=ql.fmt,
+                              n_segs=_n_segs(K), s6=s6,
+                              splits=_row_splits(bn, PIPE_SUB_ROWS)),
+            out_shape=jax.ShapeDtypeStruct((Bp, Np), out_dtype),
+            grid=(n_tiles,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((Bp, bn), lambda i: (0, i)),
+            compiler_params=pltpu.CompilerParams(**cp),
+            cost_estimate=cost,
+            interpret=interpret_default(interpret),
+        )(*operands)
+        return out[:B, :N]
     out = pl.pallas_call(
         functools.partial(_pipe_kernel, fmt=ql.fmt, n_tiles=n_tiles,
                           n_segs=_n_segs(K), s6=s6, phase=PIPE_PHASE),
@@ -1944,10 +2020,7 @@ def _qmatmul_pipelined(xp, ql, B, N, K, kb, block_n, out_dtype, interpret):
                                lambda i: (0, jnp.maximum(i - 1, 0))),
         scratch_shapes=[pltpu.VMEM((2, bn, K), jnp.bfloat16)],
         compiler_params=pltpu.CompilerParams(**cp),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * Bp * Np * K,
-            bytes_accessed=sum(a.size * a.dtype.itemsize for a in arrays),
-            transcendentals=0),
+        cost_estimate=cost,
         interpret=interpret_default(interpret),
     )(*operands)
     return out[:B, :N]

@@ -3,21 +3,26 @@
 
 tools/prefill_marginal.py measured the 7B prefill MLP at ~1.43 ms/layer vs
 a 0.78 ms MXU bound (55%). _pipe_kernel claims dequant (VPU) overlaps the
-dot (MXU) across grid steps; this probe prices each phase separately at the
-real prefill shapes using the chained-marginal protocol (two chain lengths,
-host fetch, difference — dispatch/RTT cancel):
+dot (MXU) across grid steps; this probe prices each phase separately at
+prefill shapes (T=512).
+
+Protocol: SIZE-marginal interleaved pairs (bench.py discipline — a chained
+loop over ONE weight lets XLA/Mosaic keep it VMEM-resident and measures
+fantasy rates; the first version of this probe did exactly that and read
+158% of the MXU bound). Two row counts N_small/N_big at the same K are
+chained back-to-back per pair; the per-call marginal is dt / d(rows) *
+rows_big, i.e. the cost of the extra rows scaled to the big shape. DMA for
+these shapes is ~7x under the MXU bound, so the number prices compute:
 
   both     production kernel (dequant + dot)
   dequant  dot skipped — DMA + VPU dequant + scratch write
   dot      dequant skipped — DMA + MXU dot from (stale) scratch
-  xla_bf16 jnp dot on PRE-dequantized dense bf16 weights (pure MXU ref,
-           weights stream 2 B/w instead of 0.56 — DMA-heavier but no VPU)
+  xla      jnp dot on PRE-dequantized dense bf16 weights (pure MXU ref)
 
-If both ~= dequant + dot, the phases serialize (the claimed overlap is not
-happening); if both ~= max(dequant, dot) the kernel is already at its
-structural limit and the loss is elsewhere (glue between layers).
+If both ~= dequant + dot the phases serialize; if both ~= max(...) the
+kernel is at its structural limit and the TTFT loss is elsewhere.
 
-Usage: python tools/pipe_probe.py [--t 512] [--inner-small 4] [--inner-big 12]
+Usage: python tools/pipe_probe.py [--t 512] [--inner 64] [--pairs 5]
 """
 
 import argparse
@@ -36,85 +41,84 @@ import numpy as np
 from ggml_cuda_experiments_tpu.ops import quant_matmul as qm
 
 
-def marginal(fn, x0, inner_small, inner_big, reps=3):
-    fa, fb = fn(inner_small), fn(inner_big)
-    np.asarray(fa(x0)), np.asarray(fb(x0))        # compile + warm
+def make_chain(inner, K, call):
+    @jax.jit
+    def f(x):
+        def body(_, x):
+            y = call(x)
+            if y.shape[1] < K:                   # fold back to [T, K]
+                y = jnp.concatenate([y] * (-(-K // y.shape[1])), axis=1)
+            yk = y[:, :K]                        # probe phases can emit NaN
+            yk = jnp.where(jnp.isfinite(yk), yk, 0.0)
+            return (yk * 0.01 + 0.1 * x).astype(jnp.float32)
+        return jax.lax.fori_loop(0, inner, body, x)
+    return f
 
-    def t(f):
+
+def pair_marginal(f_small, f_big, x0, inner, n_small, n_big, pairs):
+    """Median over interleaved pairs of (t_big - t_small) / inner,
+    scaled to the full big shape: cost_big ~= dt * n_big / (n_big - n_small)."""
+    np.asarray(f_small(x0)), np.asarray(f_big(x0))     # compile + warm
+    vals = []
+    for _ in range(pairs):
         t0 = time.perf_counter()
-        np.asarray(f(x0))
-        return time.perf_counter() - t0
-
-    ts = min(t(fa) for _ in range(reps))
-    tb = min(t(fb) for _ in range(reps))
-    return (tb - ts) / (inner_big - inner_small)
+        np.asarray(f_small(x0))
+        t1 = time.perf_counter()
+        np.asarray(f_big(x0))
+        t2 = time.perf_counter()
+        dt = ((t2 - t1) - (t1 - t0)) / inner
+        vals.append(dt * n_big / (n_big - n_small))
+    vals.sort()
+    return vals[len(vals) // 2], [round(v * 1e6, 1) for v in vals]
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--t", type=int, default=512)
-    ap.add_argument("--inner-small", type=int, default=4)
-    ap.add_argument("--inner-big", type=int, default=12)
-    ap.add_argument("--shapes", default="24576x4096,4096x12288")
+    ap.add_argument("--inner", type=int, default=256)
+    ap.add_argument("--pairs", type=int, default=5)
+    ap.add_argument("--ks", default="4096,12288")
     args = ap.parse_args()
     T = args.t
 
     rng = np.random.default_rng(0)
-    for shape in args.shapes.split(","):
-        N, K = map(int, shape.split("x"))
-        w = (rng.normal(size=(N, K)) / np.sqrt(K)).astype(np.float32)
-        ql = jax.device_put(qm.quantize(w, "q4_k"))
-        wd = jnp.asarray(w, jnp.bfloat16)          # dense bf16 reference
+    for K in map(int, args.ks.split(",")):
+        n_small, n_big = (8192, 24576) if K == 4096 else (4096, 12288)
+        w = (rng.normal(size=(n_big, K)) / np.sqrt(K)).astype(np.float32)
         x0 = jnp.asarray(rng.normal(size=(T, K)).astype(np.float32))
+        qls = {n: jax.device_put(qm.quantize(w[:n], "q4_k"))
+               for n in (n_small, n_big)}
+        wds = {n: jnp.asarray(w[:n], jnp.bfloat16) for n in (n_small, n_big)}
 
-        flops = 2 * T * N * K
-        mxu_us = flops / 197e12 * 1e6
-        dma_us = ql.nbytes / 819e9 * 1e6
-        print(f"[{N}x{K}] T={T}: MXU bound {mxu_us:.0f} us, "
-              f"q4_k DMA {dma_us:.0f} us, dense-bf16 DMA "
-              f"{wd.nbytes / 819e9 * 1e6:.0f} us", flush=True)
+        mxu_us = 2 * T * n_big * K / 197e12 * 1e6
+        print(f"[N={n_big} K={K}] T={T}: MXU bound {mxu_us:.0f} us, "
+              f"q4_k DMA {qls[n_big].nbytes / 819e9 * 1e6:.0f} us",
+              flush=True)
 
-        def chained_pipe(inner):
-            @jax.jit
-            def f(x):
-                def body(_, x):
-                    y = qm.qmatmul(x, ql, pipelined=True)
-                    if y.shape[1] < K:           # fold back to [T, K]
-                        y = jnp.concatenate([y] * (-(-K // y.shape[1])),
-                                            axis=1)
-                    yk = y[:, :K]                # probe phases can emit NaN
-                    yk = jnp.where(jnp.isfinite(yk), yk, 0.0)
-                    return (yk * 0.01 + 0.1 * x).astype(jnp.float32)
-                return jax.lax.fori_loop(0, inner, body, x)
-            return f
+        def run(label):
+            fs = {n: make_chain(
+                args.inner, K,
+                (lambda x, n=n: qm.qmatmul(x, qls[n], pipelined=True))
+                if label != "xla" else
+                (lambda x, n=n: jax.lax.dot_general(
+                    x.astype(jnp.bfloat16), wds[n],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)))
+                for n in (n_small, n_big)}
+            m, vals = pair_marginal(fs[n_small], fs[n_big], x0, args.inner,
+                                    n_small, n_big, args.pairs)
+            print(f"  {label:8s}: {m*1e6:7.1f} us/call-equiv "
+                  f"({mxu_us / (m*1e6) * 100:5.1f}% of MXU bound) "
+                  f"pairs={vals}", flush=True)
 
-        def chained_xla(inner):
-            @jax.jit
-            def f(x):
-                def body(_, x):
-                    y = jax.lax.dot_general(
-                        x.astype(jnp.bfloat16), wd,
-                        dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    if y.shape[1] < K:
-                        y = jnp.concatenate([y] * (-(-K // y.shape[1])),
-                                            axis=1)
-                    return (y[:, :K] * 0.01 + 0.1 * x).astype(jnp.float32)
-                return jax.lax.fori_loop(0, inner, body, x)
-            return f
-
-        for phase in ("both", "dequant", "dot", "both"):
-            qm.PIPE_PHASE = phase
+        for label in ("both", "sub", "dequant", "dot", "both", "sub"):
+            qm.PIPE_MODE = "sub" if label == "sub" else "slots"
+            qm.PIPE_PHASE = label if label in ("dequant", "dot") else "both"
             qm.qmatmul.clear_cache()
-            us = marginal(chained_pipe, x0, args.inner_small,
-                          args.inner_big) * 1e6
-            print(f"  pipe[{phase:7s}]: {us:7.1f} us/call "
-                  f"({mxu_us / us * 100:5.1f}% of MXU bound)", flush=True)
-        qm.PIPE_PHASE = "both"
+            run(label)
+        qm.PIPE_PHASE, qm.PIPE_MODE = "both", "sub"
         qm.qmatmul.clear_cache()
-        us = marginal(chained_xla, x0, args.inner_small, args.inner_big) * 1e6
-        print(f"  xla_bf16 dense : {us:7.1f} us/call "
-              f"({mxu_us / us * 100:5.1f}% of MXU bound)", flush=True)
+        run("xla")
 
 
 if __name__ == "__main__":
