@@ -53,8 +53,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ggml_cuda_experiments_tpu.ops.quant_matmul import (
     QuantLinear, _block_sums, _chunk8_compute, _dd_expand_np,
-    _decode_es_em_s6, _eye_operand, _quant_rows_blockwise, chunk8_plan,
-    permute_activations, QK_K,
+    _decode_es_em_s6, _eye_operand, _quant_rows_blockwise, _store_row,
+    chunk8_plan, permute_activations, QK_K,
 )
 from ggml_cuda_experiments_tpu.utils.platform import interpret_default
 
@@ -150,8 +150,10 @@ def _fused_attn_kernel(
             es = qes_ref[...].astype(jnp.float32)
             em = qem_ref[...].astype(jnp.float32)
         y = _chunk8_compute(eas, ebs, sc2_ref[0:4, :], qqs_ref, es, em,
-                            n_segs=1, splits=splitsQ)
-        yqkv[0:1, pl.ds(i * bnQ, bnQ)] = y
+                            n_segs=1, splits=splitsQ,
+                            store=_store_row(yqkv, i * bnQ))
+        if y is not None:
+            yqkv[0:1, pl.ds(i * bnQ, bnQ)] = y
 
     @pl.when(i == nQ - 1)
     def _rope_boundary():
@@ -285,8 +287,11 @@ def _fused_attn_kernel(
         else:
             es = woes[...].astype(jnp.float32)
             em = woem[...].astype(jnp.float32)
-        o_ref[...] = _chunk8_compute(eas, ebs, scs[...], woq, es, em,
-                                     n_segs=1, splits=splitsW)
+        res = _chunk8_compute(eas, ebs, scs[...], woq, es, em,
+                              n_segs=1, splits=splitsW,
+                              store=_store_row(o_ref))
+        if res is not None:
+            o_ref[...] = res
 
 
 def wof_shape_supported(dim_o: int, ko: int, n_heads: int,

@@ -1344,9 +1344,11 @@ def _chunk8_kernel(*refs, fmt: str, n_segs: int = 1,
         es = s1_ref[...].astype(jnp.float32)
         em = (8.0 * es if fmt == "q4_0"
               else s2_ref[...].astype(jnp.float32))
-    o_ref[...] = _chunk8_compute(
+    res = _chunk8_compute(
         ea_ref, eb_ref, sc_ref[...], qs_ref, es, em,
-        n_segs=n_segs, splits=splits)
+        n_segs=n_segs, splits=splits, store=_store_row(o_ref))
+    if res is not None:
+        o_ref[...] = res
 
 
 # Scale-fold placement for _chunk8_compute:
@@ -1359,11 +1361,25 @@ def _chunk8_kernel(*refs, fmt: str, n_segs: int = 1,
 CHUNK8_FOLD = "subtile"
 
 
+def _store_row(o_ref, col0=0):
+    """store(r0, rows, y[rows]) callback writing o_ref[0, col0+r0 : +rows]
+    (col0 may be traced; offsets are 128-multiples by construction)."""
+    def store(r0, rows, y):
+        o_ref[0:1, pl.ds(col0 + r0, rows)] = y[None, :]
+    return store
+
+
 def _chunk8_compute(ea_ref, eb_ref, sc, qs_ref, es, em, *,
-                    n_segs: int, splits: tuple[int, ...] | None):
+                    n_segs: int, splits: tuple[int, ...] | None,
+                    store=None):
     """The chunk8 compute body on one weight block (refs or arrays for
-    ea/eb/qs), shared by the standalone kernel and the fused-MLP kernel.
-    Returns y [1, bn]."""
+    ea/eb/qs), shared by the standalone kernel and the fused kernels.
+    Returns y [1, bn] — or, with the subtile fold and a ``store(r0, rows,
+    y_rows)`` callback, writes each subtile's [rows] row-sums through the
+    callback and returns None. The callback exists because Mosaic's 1-D
+    vector concatenate needs 1024-aligned offsets ("Input offsets outside
+    of the first tile" at e.g. the lm_head's (1152, 1024, 1024) splits);
+    storing straight to the output ref also shortens the drain."""
     dims = (((1,), (0,)), ((), ()))
     splits = splits or (qs_ref.shape[0],)
 
@@ -1399,8 +1415,14 @@ def _chunk8_compute(ea_ref, eb_ref, sc, qs_ref, es, em, *,
         for rows in splits:
             p = qs_ref[r0:r0 + rows, :]               # [rows, K/2] int8
             zl_i, zp_i = dots(p, p & 0x0F)
-            ys.append(fold(zl_i, zp_i, r0, rows))
+            y_i = fold(zl_i, zp_i, r0, rows)
+            if store is not None:
+                store(r0, rows, y_i)
+            else:
+                ys.append(y_i)
             r0 += rows
+        if store is not None:
+            return None
         y = ys[0] if len(ys) == 1 else jnp.concatenate(ys)
         return y[None, :]
 
@@ -1763,8 +1785,10 @@ def _fused_mlp_kernel(*refs,
             es = ges_ref[...].astype(jnp.float32)
             em = gem_ref[...].astype(jnp.float32)
         y = _chunk8_compute(ea4, eb4, sc4_ref[...], gqs_ref,
-                            es, em, n_segs=1, splits=splitsA)
-        ygu[0:1, pl.ds(i * bnA, bnA)] = y
+                            es, em, n_segs=1, splits=splitsA,
+                            store=_store_row(ygu, i * bnA))
+        if y is not None:
+            ygu[0:1, pl.ds(i * bnA, bnA)] = y
 
     @pl.when(i == nA - 1)
     def _boundary():
@@ -1811,8 +1835,11 @@ def _fused_mlp_kernel(*refs,
         else:
             es = des_ref[...].astype(jnp.float32)
             em = dem_ref[...].astype(jnp.float32)
-        o_ref[...] = _chunk8_compute(ead, ebd, scd[...], dqs_ref,
-                                     es, em, n_segs=segsD, splits=splitsD)
+        res = _chunk8_compute(ead, ebd, scd[...], dqs_ref,
+                              es, em, n_segs=segsD, splits=splitsD,
+                              store=_store_row(o_ref))
+        if res is not None:
+            o_ref[...] = res
 
 
 def reorder_gu_rows(w_gate: np.ndarray, w_up: np.ndarray) -> np.ndarray:
