@@ -1475,11 +1475,11 @@ def chunk8_plan(N: int, K: int, block_n: int | None = None,
     kh = K // 2
     if block_n is None:
         if _n_segs(K) > 1:
-            # segment-local K (e.g. 12288): 2*n_segs dots per subtile make
-            # big tiles lose — bn=512 measured best at (4096, 12288)
-            # (59.6 us/call vs 66.7 at 2048, 88.0 at 4096;
-            # tools/shape_probe.py)
-            cap = 512
+            # segment-local K (e.g. 12288): with the round-4 subtile fold,
+            # bn=1024 (grid 4, one subtile) measured best at (4096, 12288):
+            # 48.2 us/iter 79.7% vs 55.8/68.8 at 512 and 55.5/69.3 at 2048
+            # (tools/shape_probe.py; the pre-fold sweep had picked 512)
+            cap = 1024
         else:
             # bn=4096 stays the cap: a round-4 sweep briefly "measured"
             # bn=8192 at 88.8% vs 86.2, but that was a PROTOCOL ARTIFACT —

@@ -116,6 +116,14 @@ def main():
 
             def mlp_mat(layer, h):
                 x = llama.rms_norm(h, layer["mlp_norm"], lcfg.rms_eps)
+                if "w_gu_f" in layer:       # fused layout checkpoint
+                    y = llama.apply_linear(x, layer["w_gu_f"],
+                                           xq8=lcfg.x_quant8)
+                    kd = y.shape[-1] // 2
+                    gate, up = y[..., :kd], y[..., kd:]
+                    return llama.apply_linear(
+                        up + 1e-6 * gate, layer["w_down"],
+                        xq8=lcfg.x_quant8, x_prepermuted=True)
                 gate, up = llama.gate_up_proj(layer, x, xq8=lcfg.x_quant8)
                 return llama.apply_linear(up + 1e-6 * gate, layer["w_down"],
                                           xq8=lcfg.x_quant8)
