@@ -42,6 +42,17 @@ class ModelConfig:
     # worse and was reverted (dead end, PERF.md).
     fuse_attn: bool = True
     fuse_mlp: bool = True
+    # Permuted-hidden layout: the hidden state h lives in the quant
+    # kernels' interleaved column order (quant_matmul._perm(dim))
+    # end-to-end. Requires params transformed by
+    # llama.permute_hidden_params (embed/norm columns gathered, wo and
+    # w_down ROWS gathered by the same perm — free offline transforms).
+    # Removes every per-call activation permute and is the layout
+    # prerequisite for a whole-layer megakernel (no in-kernel lane
+    # permute exists on Mosaic). rms_norm is permutation-invariant, so
+    # prefill and decode stay numerically equivalent (reduction-order
+    # eps only).
+    hperm: bool = False
     # B==1 decode attention: at or below this PADDED cache length the
     # whole layer streams through one XLA fusion instead of the
     # flash_decode custom call (llama._xla_decode_attention). Default 0

@@ -74,26 +74,36 @@ def apply_linear(x: jax.Array, w, xq8: bool = False,
 
 
 def qkv_proj(layer: Params, x: jax.Array, cfg: ModelConfig):
-    """Query/key/value projections; uses the fused wqkv weight when present
-    (one weight stream + one kernel launch instead of three)."""
+    """Query/value projections; uses the fused wqkv weight when present
+    (one weight stream + one kernel launch instead of three).
+
+    With ``cfg.hperm`` the incoming x is already in the interleaved
+    column order the quant kernels want (see permute_hidden_params), so
+    the per-call activation permute is skipped."""
+    pre = cfg.hperm
     if "wqkv" in layer:
-        y = apply_linear(x, layer["wqkv"], xq8=cfg.x_quant8)
+        y = apply_linear(x, layer["wqkv"], xq8=cfg.x_quant8,
+                         x_prepermuted=pre)
         s1 = cfg.n_heads * cfg.head_dim
         s2 = s1 + cfg.n_kv_heads * cfg.head_dim
         return y[..., :s1], y[..., s1:s2], y[..., s2:]
-    return (apply_linear(x, layer["wq"], xq8=cfg.x_quant8),
-            apply_linear(x, layer["wk"], xq8=cfg.x_quant8),
-            apply_linear(x, layer["wv"], xq8=cfg.x_quant8))
+    return (apply_linear(x, layer["wq"], xq8=cfg.x_quant8, x_prepermuted=pre),
+            apply_linear(x, layer["wk"], xq8=cfg.x_quant8, x_prepermuted=pre),
+            apply_linear(x, layer["wv"], xq8=cfg.x_quant8, x_prepermuted=pre))
 
 
-def gate_up_proj(layer: Params, x: jax.Array, xq8: bool = False):
+def gate_up_proj(layer: Params, x: jax.Array, xq8: bool = False,
+                 x_prepermuted: bool = False):
     """Gate/up projections; fused w_gu when present."""
     if "w_gu" in layer:
-        y = apply_linear(x, layer["w_gu"], xq8=xq8)
+        y = apply_linear(x, layer["w_gu"], xq8=xq8,
+                         x_prepermuted=x_prepermuted)
         h = y.shape[-1] // 2
         return y[..., :h], y[..., h:]
-    return (apply_linear(x, layer["w_gate"], xq8=xq8),
-            apply_linear(x, layer["w_up"], xq8=xq8))
+    return (apply_linear(x, layer["w_gate"], xq8=xq8,
+                         x_prepermuted=x_prepermuted),
+            apply_linear(x, layer["w_up"], xq8=xq8,
+                         x_prepermuted=x_prepermuted))
 
 
 def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
@@ -285,7 +295,7 @@ def _attention_block(layer: Params, cfg: ModelConfig, h: jax.Array,
             o2, kn, vn = attention_fused(
                 x[:, 0, :], layer["wqkv"], layer["wo"], cache.k, cache.v,
                 lengths, li, n_heads=Hq, n_kv_heads=Hkv, head_dim=D,
-                rope_theta=cfg.rope_theta)
+                rope_theta=cfg.rope_theta, x_prepermuted=cfg.hperm)
             cache = KVCache(
                 k=_write_cache_layer(cache.k, li, kn[None, :, None, :],
                                      pos0 := positions[:, 0]),
@@ -397,10 +407,12 @@ def _mlp_block(layer: Params, cfg: ModelConfig, h: jax.Array,
         if (x2.shape[0] == 1 and cfg.fuse_mlp
                 and mlp_fused_supported(w_guf, w_down)):
             # decode: one Pallas call for the whole MLP
-            xp = permute_activations(x2.astype(jnp.float32))
+            xp = (x2.astype(jnp.float32) if cfg.hperm
+                  else permute_activations(x2.astype(jnp.float32)))
             out = mlp_fused(xp, w_guf, w_down).astype(x.dtype)
         else:
-            y = apply_linear(x2, w_guf, xq8=cfg.x_quant8)
+            y = apply_linear(x2, w_guf, xq8=cfg.x_quant8,
+                             x_prepermuted=cfg.hperm)
             kd = y.shape[-1] // 2
             mid_p = (jax.nn.silu(y[..., :kd].astype(jnp.float32))
                      .astype(x.dtype) * y[..., kd:])
@@ -409,7 +421,8 @@ def _mlp_block(layer: Params, cfg: ModelConfig, h: jax.Array,
                                x_prepermuted=True)
         out = out.reshape(*lead, -1)
     else:
-        gate, up = gate_up_proj(layer, x, xq8=cfg.x_quant8)
+        gate, up = gate_up_proj(layer, x, xq8=cfg.x_quant8,
+                                x_prepermuted=cfg.hperm)
         out = apply_linear(
             jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up,
             layer["w_down"], xq8=cfg.x_quant8)
@@ -432,9 +445,20 @@ def _forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
         h = h + _mlp_block(layer, cfg, h, reduce_axis=reduce_axis,
                            expert_axis=expert_axis)
     h = rms_norm(h, params["final_norm"], cfg.rms_eps)
-    logits = apply_linear(h if all_logits else h[:, -1],
-                          params["lm_head"],
-                          xq8=cfg.x_quant8)   # [B(, T), vocab]
+    hl = h if all_logits else h[:, -1]
+    head_pre = False
+    if cfg.hperm:
+        head = params["lm_head"]
+        if (isinstance(head, QuantLinear) and head.layout == "std"
+                and head.fmt != "q6_k"):
+            head_pre = True          # same interleave as the hidden order
+        else:
+            # q6_k head (different lane order) or dense-with-logical
+            # columns: fall back to logical order for this one call
+            from ggml_cuda_experiments_tpu.ops.quant_matmul import _inv_perm
+            hl = jnp.take(hl, jnp.asarray(_inv_perm(hl.shape[-1])), axis=-1)
+    logits = apply_linear(hl, params["lm_head"], xq8=cfg.x_quant8,
+                          x_prepermuted=head_pre)   # [B(, T), vocab]
     cache = dataclasses.replace(
         cache, lengths=cache.lengths + tokens.shape[1])
     return logits.astype(jnp.float32), cache
@@ -642,4 +666,54 @@ def quantize_params(params: Params, fmt: str, *, quantize_head: bool = True,
     if quantize_head:
         out["lm_head"] = quantize(np.asarray(params["lm_head"], np.float32),
                                   head_fmt or fmt)
+    return out
+
+
+def permute_hidden_params(params: Params, cfg: ModelConfig) -> Params:
+    """Rewrite quantized params into the permuted-hidden layout
+    (``cfg.hperm``): the hidden state then lives in the quant kernels'
+    interleaved column order (quant_matmul._perm(dim)) end-to-end, so no
+    per-call activation permute is ever needed and a whole decoder layer
+    can chain inside one kernel (Mosaic has no in-kernel lane permute).
+
+    Free offline transforms, all exact:
+      - embed columns and the three norm weights gathered by perm;
+      - wo and w_down ROWS gathered by the same perm (row permutation of
+        an output-major weight permutes its OUTPUT lanes — each row's
+        encoding is untouched);
+      - everything consuming x (wqkv/w_gu*/lm_head) already stores
+        interleaved columns, so it just takes x_prepermuted=True.
+    The lm_head is left as-is (a q6_k head uses a different lane order;
+    the forward un-permutes the single [1, dim] vector for that call).
+
+    Requires the dense-MLP fused or unfused q4/q8-class layout; MoE and
+    q6_k layer weights are not supported (their activation orders
+    differ)."""
+    from ggml_cuda_experiments_tpu.ops.quant_matmul import _fields, _perm
+
+    perm = np.asarray(_perm(cfg.dim))
+
+    def prow(w):
+        if isinstance(w, QuantLinear):
+            assert w.fmt in ("q4_k", "q8_0", "q4_0"), \
+                f"hperm: unsupported row-permute fmt {w.fmt}"
+            return dataclasses.replace(
+                w, **{f: getattr(w, f)[perm] for f in _fields(w)})
+        return w[perm]
+
+    def pvec(w):
+        return w[..., perm]
+
+    out = dict(params)
+    out["embed"] = pvec(params["embed"])
+    out["final_norm"] = pvec(params["final_norm"])
+    out["layers"] = []
+    for layer in params["layers"]:
+        assert "router" not in layer, "hperm: MoE layers unsupported"
+        l2 = dict(layer)
+        l2["attn_norm"] = pvec(layer["attn_norm"])
+        l2["mlp_norm"] = pvec(layer["mlp_norm"])
+        l2["wo"] = prow(layer["wo"])
+        l2["w_down"] = prow(layer["w_down"])
+        out["layers"].append(l2)
     return out

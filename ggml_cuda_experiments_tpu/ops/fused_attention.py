@@ -331,7 +331,7 @@ def attention_fused_supported(wqkv, wo, n_heads: int, n_kv_heads: int,
 @functools.partial(
     jax.jit,
     static_argnames=("n_heads", "n_kv_heads", "head_dim", "rope_theta",
-                     "scale", "block_k", "interpret"),
+                     "scale", "block_k", "x_prepermuted", "interpret"),
 )
 def attention_fused(
     x: jax.Array,                 # [1, dim] normed hidden, logical order
@@ -346,6 +346,7 @@ def attention_fused(
     rope_theta: float = 10000.0,
     scale: float | None = None,
     block_k: int = 256,
+    x_prepermuted: bool = False,
     interpret: bool | None = None,
 ):
     """Returns (o [1, dim] f32 attention-block output (pre-residual),
@@ -376,7 +377,8 @@ def attention_fused(
     grid = (nQ + 2,)
 
     # --- phase-Q activation operands (same math as _qmatmul_chunk8) ---
-    xp = permute_activations(x.astype(jnp.float32))
+    xp = (x.astype(jnp.float32) if x_prepermuted
+          else permute_activations(x.astype(jnp.float32)))
     kh, kb = KQ // 2, KQ // 32
     xl, xh = xp[0, :kh], xp[0, kh:]
     aq, sa = _quant_rows_blockwise(xl - xh / 16.0, kb, 1)
