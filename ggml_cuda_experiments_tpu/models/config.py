@@ -53,6 +53,11 @@ class ModelConfig:
     # prefill and decode stay numerically equivalent (reduction-order
     # eps only).
     hperm: bool = False
+    # Whole-layer megakernel (ops/layer_kernel.py): one Pallas call per
+    # decoder layer at decode B==1. Requires hperm=True (permuted-hidden
+    # params) and the fused q4_k layout; falls through per-layer when
+    # layer_step_supported rejects the shapes.
+    fuse_layer: bool = False
     # B==1 decode attention: at or below this PADDED cache length the
     # whole layer streams through one XLA fusion instead of the
     # flash_decode custom call (llama._xla_decode_attention). Default 0

@@ -437,7 +437,34 @@ def _forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
              expert_axis: str | None = None,
              all_logits: bool = False) -> tuple[jax.Array, KVCache]:
     h = params["embed"][tokens]            # [B, T, dim]
+    B, T = tokens.shape
+    use_layer_kernel = (
+        decode and cfg.fuse_layer and cfg.hperm and cfg.x_quant8
+        and reduce_axis is None and expert_axis is None
+        and B == 1 and T == 1 and not cache.quantized)
     for li, layer in enumerate(params["layers"]):
+        if use_layer_kernel:
+            from ggml_cuda_experiments_tpu.ops.layer_kernel import (
+                layer_step, layer_step_supported)
+            if layer_step_supported(layer, cfg.n_heads, cfg.n_kv_heads,
+                                    cfg.head_dim, cache.k.dtype):
+                h2, kn, vn = layer_step(
+                    h[:, 0, :], layer["wqkv"], layer["wo"],
+                    layer["w_gu_f"], layer["w_down"],
+                    layer["attn_norm"], layer["mlp_norm"],
+                    cache.k, cache.v, cache.lengths, li,
+                    n_heads=cfg.n_heads, n_kv_heads=cfg.n_kv_heads,
+                    head_dim=cfg.head_dim, rope_theta=cfg.rope_theta,
+                    rms_eps=cfg.rms_eps)
+                pos0 = positions[:, 0]
+                cache = dataclasses.replace(
+                    cache,
+                    k=_write_cache_layer(cache.k, li,
+                                         kn[None, :, None, :], pos0),
+                    v=_write_cache_layer(cache.v, li,
+                                         vn[None, :, None, :], pos0))
+                h = h2[:, None, :].astype(h.dtype)
+                continue
         attn, cache = _attention_block(
             layer, cfg, h, cache, li, positions, decode=decode,
             reduce_axis=reduce_axis)

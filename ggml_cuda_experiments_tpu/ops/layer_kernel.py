@@ -1,0 +1,530 @@
+"""Whole-DECODER-LAYER fused Pallas kernel for batch-1 decode.
+
+ONE kernel launch runs: attn RMSNorm -> wqkv dequant-matvec -> RoPE -> KV
+append-in-stream -> split-KV flash decode -> W_o dequant-matvec -> residual
+-> MLP RMSNorm -> w_gu dequant-matvec -> silu*mul -> w_down dequant-matvec
+-> residual. It merges ops/fused_attention.py and quant_matmul.mlp_fused
+into one grid, eliminating one Pallas launch + pipeline ramp and ALL
+inter-block XLA glue per layer (~20 us/launch measured,
+tools/layer_marginal.py --ablate, PERF.md "Decode (r4 s2)").
+
+Requires the PERMUTED-HIDDEN layout (models/llama.permute_hidden_params +
+cfg.hperm): h arrives in the interleaved lane order, wo and w_down rows
+are pre-permuted so their outputs land back in that order — the chain
+then never needs the in-kernel lane permute Mosaic does not have. The
+reference runs this pipeline as 3+ kernels with host glue
+(/root/reference/src/flash_row_float.h:4-200,415-472 + kernel_test.h
+:107-163); here the weight streams of all four projections share one
+continuous HBM pipeline, and the serial attention phase runs under the
+already-queued w_gu window DMA instead of leaving the DMA engine idle.
+
+Phase map over the (nQ + 2 + nA + nD)-step grid (7B: 3+2+6+4 = 15):
+  step 0 (inside wqkv tile 0): attn RMSNorm + in-kernel activation
+      quantize/selector build (quant_matmul._act_quant_build); W_o
+      resident-copy + first KV block DMA start.
+  [0, nQ): wqkv chunk8 tiles -> yqkv scratch.
+  nQ-1: RoPE splice (q scaled+rotated, k/v_new emitted for the cache).
+  nQ: in-kernel double-buffered flash decode over valid KV blocks;
+      then the W_o boundary (MXU eye-dot transpose + quantize) rebuilds
+      the SAME selector scratch for W_o.
+  nQ+1: W_o matvec from the VMEM-resident copy -> h2 = h + attn_out;
+      MLP RMSNorm + quantize/selector rebuild (same scratch again —
+      Kq == Kwo == Kgu == dim so the three phases share eas/ebs/sca).
+  [nQ+2, nQ+2+nA): w_gu chunk8 tiles -> ygu (rows pre-ordered by
+      reorder_gu_rows, so no permute before w_down).
+  last gu step: mid = silu(g)*u + quantize/selector build for w_down.
+  [nQ+2+nA, end): w_down chunk8 tiles + residual from h2 -> h_next.
+
+Gate (layer_step_supported): B == 1, head_dim 128, dim == 4096, GQA
+r in {1, 2, 4, 8}, q4_k "e" weights in the fused layout (wqkv, wof wo,
+w_gu_f, w_down with Kd % 4096 == 0), bf16/f32 contiguous cache.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ggml_cuda_experiments_tpu.ops.fused_attention import (
+    DEFAULT_MASK_VALUE, wof_shape_supported,
+)
+from ggml_cuda_experiments_tpu.ops.quant_matmul import (
+    QuantLinear, _act_quant_build, _chunk8_compute, _n_segs, _store_row,
+    chunk8_plan,
+)
+from ggml_cuda_experiments_tpu.utils.platform import interpret_default
+
+
+def _layer_kernel(
+    *refs,
+    nQ: int, bnQ: int, nA: int, bnA: int, nD: int, bnD: int,
+    n_blocks: int, n_groups: int, ht: int, bk: int, nH: int, nKV: int,
+    Kd: int, segsD: int,
+    splitsQ, splitsW, splitsA, splitsD, cache_dtype, rms_eps: float,
+):
+    it = iter(refs)
+    len_ref, lyr_ref = next(it), next(it)         # scalar prefetch
+    h_ref, anorm_ref, mnorm_ref, rope_ref, eye_ref = (next(it)
+                                                      for _ in range(5))
+    qqs_ref, qes_ref, qem_ref = next(it), next(it), next(it)
+    k_any, v_any = next(it), next(it)
+    wqs_any, wes_any, wem_any = next(it), next(it), next(it)
+    gqs_ref, ges_ref, gem_ref = next(it), next(it), next(it)
+    dqs_ref, des_ref, dem_ref = next(it), next(it), next(it)
+    o_ref, kn_ref, vn_ref = next(it), next(it), next(it)
+    yqkv, qt, eas, ebs, sca = (next(it) for _ in range(5))
+    m_scr, l_scr, acc_scr, ofin, h2, ygu = (next(it) for _ in range(6))
+    ead, ebd, scd = (next(it) for _ in range(3))
+    kbuf, vbuf, woq, woes, woem = (next(it) for _ in range(5))
+    kv_sem, wo_sem = it
+
+    i = pl.program_id(0)
+    D = 128
+    r = nH // nKV
+    kh_pg = ht // r
+    A0 = nQ + 2
+    D0 = A0 + nA
+    length = len_ref[0]                           # INCLUDING the new token
+    lyr = lyr_ref[0]
+    nvalid = jnp.minimum((length + bk - 1) // bk, n_blocks)
+
+    def kv_copies(t, slot):
+        g = t // nvalid
+        blk = t - g * nvalid
+        row0 = g * kh_pg
+        base = blk * bk
+        src_k = k_any.at[lyr, 0, pl.ds(row0, kh_pg), pl.ds(base, bk)]
+        src_v = v_any.at[lyr, 0, pl.ds(row0, kh_pg), pl.ds(base, bk)]
+        return (pltpu.make_async_copy(src_k, kbuf.at[slot],
+                                      kv_sem.at[0, slot]),
+                pltpu.make_async_copy(src_v, vbuf.at[slot],
+                                      kv_sem.at[1, slot]))
+
+    def wo_copies():
+        return [pltpu.make_async_copy(wqs_any, woq, wo_sem.at[0]),
+                pltpu.make_async_copy(wes_any, woes, wo_sem.at[1]),
+                pltpu.make_async_copy(wem_any, woem, wo_sem.at[2])]
+
+    @pl.when(i == 0)
+    def _entry():
+        h = h_ref[...].astype(jnp.float32)        # [1, dim] permuted
+        var = jnp.sum(h * h, axis=1, keepdims=True) / h.shape[1]
+        x = h * jax.lax.rsqrt(var + rms_eps) * anorm_ref[...]
+        _act_quant_build(x, 1, eye_ref[...].astype(jnp.float32),
+                         eas, ebs, sca)
+        for c in wo_copies():                     # stream W_o behind all
+            c.start()
+        for c in kv_copies(0, 0):                 # first KV block
+            c.start()
+
+    @pl.when(i < nQ)
+    def _qkv_phase():
+        es = qes_ref[...].astype(jnp.float32)
+        em = qem_ref[...].astype(jnp.float32)
+        y = _chunk8_compute(eas, ebs, sca[...], qqs_ref, es, em,
+                            n_segs=1, splits=splitsQ,
+                            store=_store_row(yqkv, i * bnQ))
+        if y is not None:
+            yqkv[0:1, pl.ds(i * bnQ, bnQ)] = y
+
+    @pl.when(i == nQ - 1)
+    def _rope_boundary():
+        Cq, S2q = rope_ref[0:1, :], rope_ref[1:2, :]
+        C, S2 = rope_ref[2:3, :], rope_ref[3:4, :]
+        for h in range(nH):
+            qt[h:h + 1, :] = yqkv[0:1, D * h:D * (h + 1)]
+        qraw = qt[...]
+        qt[...] = qraw * Cq + pltpu.roll(qraw, 64, 1) * S2q
+        k0 = nH * D
+        for h in range(nKV):
+            ofin[h:h + 1, :] = yqkv[0:1, k0 + D * h:k0 + D * (h + 1)]
+        kraw = ofin[0:nKV, :]                     # ofin reused as staging
+        kn_ref[...] = (kraw * C + pltpu.roll(kraw, 64, 1) * S2
+                       ).astype(cache_dtype)
+        v0 = (nH + nKV) * D
+        for h in range(nKV):
+            vn_ref[h:h + 1, :] = yqkv[0:1, v0 + D * h:v0 + D * (h + 1)
+                                      ].astype(cache_dtype)
+
+    @pl.when(i == nQ)
+    def _attn_phase():
+        total = n_groups * nvalid
+        newpos = length - 1
+
+        def body(t, _):
+            slot = jax.lax.rem(t, 2)
+            g = t // nvalid
+            blk = t - g * nvalid
+            base = blk * bk
+            row0q = g * ht
+            row0k = g * kh_pg
+
+            @pl.when(t + 1 < total)
+            def _prefetch():
+                for c in kv_copies(t + 1, 1 - slot):
+                    c.start()
+
+            for c in kv_copies(t, slot):
+                c.wait()
+
+            @pl.when(blk == 0)
+            def _init():
+                m_scr[pl.ds(row0q, ht), :] = jnp.full((ht, 128), -jnp.inf,
+                                                      jnp.float32)
+                l_scr[pl.ds(row0q, ht), :] = jnp.zeros((ht, 128),
+                                                       jnp.float32)
+                acc_scr[...] = jnp.zeros_like(acc_scr)
+
+            q = qt[pl.ds(row0q, ht), :]
+            k = kbuf[slot]
+            on_new = (base + jax.lax.broadcasted_iota(
+                jnp.int32, (1, bk, 1), 1)) == newpos
+            kn = kn_ref[pl.ds(row0k, kh_pg), :]
+            kf = jnp.where(on_new, kn[:, None, :], k).astype(jnp.float32)
+            if r == 1:
+                s = jnp.sum(q[:, None, :] * kf, axis=-1)       # [ht, bk]
+            else:
+                s = jnp.concatenate(
+                    [jnp.sum(q[sub * r:(sub + 1) * r, None, :]
+                             * kf[sub][None, :, :], axis=-1)
+                     for sub in range(kh_pg)], axis=0)
+            kpos = base + jax.lax.broadcasted_iota(jnp.int32, (ht, bk), 1)
+            s = jnp.where(kpos < length, s, DEFAULT_MASK_VALUE)
+
+            m_prev = m_scr[pl.ds(row0q, ht), :]
+            l_prev = l_scr[pl.ds(row0q, ht), :]
+            m_curr = jnp.max(s, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - m_next[:, :1])
+            l_next = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+            m_scr[pl.ds(row0q, ht), :] = m_next
+            l_scr[pl.ds(row0q, ht), :] = l_next
+            acc_scr[...] *= alpha[:, :1]
+            v = vbuf[slot]
+            vn = vn_ref[pl.ds(row0k, kh_pg), :]
+            vf = jnp.where(on_new, vn[:, None, :], v).astype(jnp.float32)
+            if r == 1:
+                acc_scr[...] += jnp.sum(p[:, :, None] * vf, axis=1)
+            else:
+                acc_scr[...] += jnp.concatenate(
+                    [jnp.sum(p[sub * r:(sub + 1) * r][:, :, None]
+                             * vf[sub][None, :, :], axis=1)
+                     for sub in range(kh_pg)], axis=0)
+
+            @pl.when(blk == nvalid - 1)
+            def _finalize():
+                l = l_next[:, :1]
+                lsafe = jnp.where(l == 0.0, 1.0, l)
+                ofin[pl.ds(row0q, ht), :] = acc_scr[...] / lsafe
+
+            return 0
+
+        jax.lax.fori_loop(0, total, body, 0)
+
+        # W_o boundary: transpose per-head output on the MXU and quantize
+        # into the shared selector scratch (wof column layout of W_o)
+        eye = eye_ref[...].astype(jnp.float32)
+        oT = jax.lax.dot_general(
+            eye, ofin[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)           # [128, nH]
+        xp = jnp.concatenate(
+            [oT[32 * c:32 * (c + 1), :] for c in range(4)], axis=1)
+        xl, xh = xp[:16, :], xp[16:, :]                    # [16, 128]
+        av = xl - xh / 16.0
+        bv = xh / 16.0
+        amax_a = jnp.max(jnp.abs(av), axis=0, keepdims=True)
+        amax_b = jnp.max(jnp.abs(bv), axis=0, keepdims=True)
+        sa = jnp.where(amax_a == 0.0, 1.0, amax_a / 127.0)
+        sb = jnp.where(amax_b == 0.0, 1.0, amax_b / 127.0)
+        sca[0:1, :] = 8.0 * jnp.sum(xh, axis=0, keepdims=True)
+        sca[1:2, :] = jnp.sum(xl + xh, axis=0, keepdims=True)
+        sca[2:3, :] = sa
+        sca[3:4, :] = sb
+        aq = jnp.clip(jnp.round(av / sa), -127, 127)
+        bq = jnp.clip(jnp.round(bv / sb), -127, 127)
+        nt = eas.shape[0] // 128
+        for t in range(nt):
+            sl = slice(128 * t, 128 * (t + 1))
+            eas[sl, :] = (eye * aq[t:t + 1, :]).astype(jnp.int8)
+            ebs[sl, :] = (eye * bq[t:t + 1, :]).astype(jnp.int8)
+
+    @pl.when(i == nQ + 1)
+    def _wo_and_mlp_entry():
+        for c in wo_copies():
+            c.wait()
+        es = woes[...].astype(jnp.float32)
+        em = woem[...].astype(jnp.float32)
+
+        def store(r0, rows, y):                   # attn out + residual
+            h2[0:1, pl.ds(r0, rows)] = (
+                y[None, :] + h_ref[0:1, pl.ds(r0, rows)].astype(jnp.float32))
+
+        res = _chunk8_compute(eas, ebs, sca[...], woq, es, em,
+                              n_segs=1, splits=splitsW, store=store)
+        if res is not None:
+            h2[...] = res + h_ref[...].astype(jnp.float32)
+
+        hv = h2[...]
+        var = jnp.sum(hv * hv, axis=1, keepdims=True) / hv.shape[1]
+        x = hv * jax.lax.rsqrt(var + rms_eps) * mnorm_ref[...]
+        _act_quant_build(x, 1, eye_ref[...].astype(jnp.float32),
+                         eas, ebs, sca)
+
+    @pl.when(jnp.logical_and(i >= A0, i < D0))
+    def _gu_phase():
+        es = ges_ref[...].astype(jnp.float32)
+        em = gem_ref[...].astype(jnp.float32)
+        t = i - A0
+        y = _chunk8_compute(eas, ebs, sca[...], gqs_ref, es, em,
+                            n_segs=1, splits=splitsA,
+                            store=_store_row(ygu, t * bnA))
+        if y is not None:
+            ygu[0:1, pl.ds(t * bnA, bnA)] = y
+
+    @pl.when(i == D0 - 1)
+    def _mid_boundary():
+        g = ygu[0:1, :Kd]
+        u = ygu[0:1, Kd:]
+        mid = (g * jax.nn.sigmoid(g)) * u
+        _act_quant_build(mid, segsD, eye_ref[...].astype(jnp.float32),
+                         ead, ebd, scd)
+
+    @pl.when(i >= D0)
+    def _down_phase():
+        es = des_ref[...].astype(jnp.float32)
+        em = dem_ref[...].astype(jnp.float32)
+        t = i - D0
+
+        def store(r0, rows, y):                   # mlp out + residual
+            o_ref[0:1, pl.ds(r0, rows)] = (
+                y[None, :] + h2[0:1, pl.ds(t * bnD + r0, rows)])
+
+        res = _chunk8_compute(ead, ebd, scd[...], dqs_ref, es, em,
+                              n_segs=segsD, splits=splitsD, store=store)
+        if res is not None:
+            o_ref[...] = res + h2[0:1, pl.ds(t * bnD, bnD)]
+
+
+def layer_step_supported(layer: dict, n_heads: int, n_kv_heads: int,
+                         head_dim: int, cache_dtype) -> bool:
+    """Static gate: the fused q4_k-e layout with wof W_o + w_gu_f, dim
+    4096, MHA/GQA r in {1,2,4,8}, bf16/f32 contiguous cache."""
+    need = ("wqkv", "wo", "w_gu_f", "w_down")
+    if any(k not in layer for k in need):
+        return False
+    ws = [layer[k] for k in need]
+    if not all(isinstance(w, QuantLinear) and w.fmt == "q4_k"
+               and w.enc == "e" for w in ws):
+        return False
+    wqkv, wo, guf, down = ws
+    dim = n_heads * head_dim
+    nw, kw = wo.array_shape
+    if wo.layout != "wof" or not wof_shape_supported(
+            nw, kw, n_heads, n_kv_heads, head_dim):
+        return False
+    nq, kq = wqkv.array_shape
+    if (nq, kq) != ((n_heads + 2 * n_kv_heads) * head_dim, dim):
+        return False
+    ng, kg = guf.array_shape
+    nd, kd = down.array_shape
+    if kg != dim or nd != dim or ng != 2 * kd or kd % 4096 != 0:
+        return False
+    if (kg // 32) % 128 != 0:
+        return False
+    return cache_dtype in (jnp.bfloat16, jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_heads", "n_kv_heads", "head_dim", "rope_theta",
+                     "rms_eps", "scale", "block_k", "interpret"),
+)
+def layer_step(
+    h: jax.Array,                 # [1, dim] PERMUTED hidden (pre-norm)
+    wqkv: QuantLinear,
+    wo: QuantLinear,              # layout="wof", rows hperm-permuted
+    w_guf: QuantLinear,           # reorder_gu_rows layout
+    w_down: QuantLinear,          # rows hperm-permuted
+    attn_norm: jax.Array,         # [dim] permuted
+    mlp_norm: jax.Array,          # [dim] permuted
+    k_cache: jax.Array,           # [L, 1, Hkv, S, D]
+    v_cache: jax.Array,
+    lengths: jax.Array,           # [1] int32, BEFORE this token
+    layer,
+    *,
+    n_heads: int, n_kv_heads: int, head_dim: int,
+    rope_theta: float = 10000.0, rms_eps: float = 1e-5,
+    scale: float | None = None,
+    block_k: int = 256,
+    interpret: bool | None = None,
+):
+    """Returns (h_next [1, dim] f32 PERMUTED post-layer hidden,
+    k_new [Hkv, D], v_new [Hkv, D]) for the caller's cache append."""
+    nH, nKV, D = n_heads, n_kv_heads, head_dim
+    dim = nH * D
+    L, B, _, S, _ = k_cache.shape
+    assert B == 1 and h.shape == (1, dim)
+    if scale is None:
+        scale = float(1.0 / D ** 0.5)
+    bk = min(block_k, S)
+    assert S % bk == 0
+    n_blocks = S // bk
+    ht = 8
+    r = nH // nKV
+    assert nH % nKV == 0 and ht % r == 0
+    kh_pg = ht // r
+    n_groups = nH // ht
+
+    NQ, KQ = wqkv.array_shape
+    planQ = chunk8_plan(NQ, KQ)
+    bnQ, splitsQ = planQ["bn"], planQ["splits"]
+    assert NQ % bnQ == 0
+    nQ = NQ // bnQ
+    NW, KW = wo.array_shape
+    splitsW = chunk8_plan(NW, KW, block_n=NW)["splits"]
+    NG, KG = w_guf.array_shape
+    planA = chunk8_plan(NG, KG)
+    bnA, splitsA = planA["bn"], planA["splits"]
+    assert NG % bnA == 0
+    nA = NG // bnA
+    ND, Kd = w_down.array_shape
+    segsD = _n_segs(Kd)
+    planD = chunk8_plan(ND, Kd)
+    bnD, splitsD = planD["bn"], planD["splits"]
+    assert ND % bnD == 0
+    nD = ND // bnD
+    A0 = nQ + 2
+    D0 = A0 + nA
+    grid = (D0 + nD,)
+
+    # rope rows (rotate-half): out = x*C + roll(x, 64)*S2
+    pos = lengths[0].astype(jnp.float32)
+    freqs = rope_theta ** (-jnp.arange(0, D // 2, dtype=jnp.float32)
+                           / (D // 2))
+    ang = pos * freqs
+    cosv, sinv = jnp.cos(ang), jnp.sin(ang)
+    C = jnp.concatenate([cosv, cosv])
+    S2 = jnp.concatenate([-sinv, sinv])
+    rope = jnp.stack([C * scale, S2 * scale, C, S2])       # [4, 128]
+
+    eye = jnp.asarray(np.eye(128, dtype=np.int8))
+    lens_incl = lengths.astype(jnp.int32) + 1
+    lyr = jnp.atleast_1d(jnp.asarray(layer, jnp.int32))
+    cache_dtype = k_cache.dtype
+
+    cmap = lambda i, lens, lyr_: (0, 0)
+    qmap = lambda i, lens, lyr_: (jnp.minimum(i, nQ - 1), 0)
+    gmap = lambda i, lens, lyr_: (
+        jnp.clip(i - A0, 0, nA - 1), 0)
+    dmap = lambda i, lens, lyr_: (
+        jnp.clip(i - D0, 0, nD - 1), 0)
+    omap = lambda i, lens, lyr_: (
+        0, jnp.clip(i - D0, 0, nD - 1))
+
+    kb = KQ // 32
+    kbd = Kd // 32
+    in_specs = [
+        pl.BlockSpec((1, dim), cmap),                # h
+        pl.BlockSpec((1, dim), cmap),                # attn_norm
+        pl.BlockSpec((1, dim), cmap),                # mlp_norm
+        pl.BlockSpec((4, 128), cmap),                # rope
+        pl.BlockSpec((128, 128), cmap),              # eye
+        pl.BlockSpec((bnQ, KQ // 2), qmap),          # wqkv qs
+        pl.BlockSpec((bnQ, kb), qmap),               # wqkv es
+        pl.BlockSpec((bnQ, kb), qmap),               # wqkv em
+        pl.BlockSpec(memory_space=pl.ANY),           # k cache
+        pl.BlockSpec(memory_space=pl.ANY),           # v cache
+        pl.BlockSpec(memory_space=pl.ANY),           # wo qs
+        pl.BlockSpec(memory_space=pl.ANY),           # wo es
+        pl.BlockSpec(memory_space=pl.ANY),           # wo em
+        pl.BlockSpec((bnA, KG // 2), gmap),          # gu qs
+        pl.BlockSpec((bnA, KG // 32), gmap),         # gu es
+        pl.BlockSpec((bnA, KG // 32), gmap),         # gu em
+        pl.BlockSpec((bnD, Kd // 2), dmap),          # down qs
+        pl.BlockSpec((bnD, kbd), dmap),              # down es
+        pl.BlockSpec((bnD, kbd), dmap),              # down em
+    ]
+    operands = [
+        h.astype(jnp.float32),
+        attn_norm.reshape(1, dim).astype(jnp.float32),
+        mlp_norm.reshape(1, dim).astype(jnp.float32),
+        rope, eye,
+        wqkv.qs, wqkv.es, wqkv.em,
+        k_cache, v_cache,
+        wo.qs, wo.es, wo.em,
+        w_guf.qs, w_guf.es, w_guf.em,
+        w_down.qs, w_down.es, w_down.em,
+    ]
+
+    scratch = [
+        pltpu.VMEM((1, NQ), jnp.float32),            # yqkv
+        pltpu.VMEM((nH, 128), jnp.float32),          # qt
+        pltpu.VMEM((KQ // 2, 128), jnp.int8),        # eas (shared)
+        pltpu.VMEM((KQ // 2, 128), jnp.int8),        # ebs (shared)
+        pltpu.VMEM((4, kb), jnp.float32),            # sca (shared)
+        pltpu.VMEM((nH, 128), jnp.float32),          # m
+        pltpu.VMEM((nH, 128), jnp.float32),          # l
+        pltpu.VMEM((ht, 128), jnp.float32),          # acc
+        pltpu.VMEM((nH, 128), jnp.float32),          # ofin
+        pltpu.VMEM((1, dim), jnp.float32),           # h2
+        pltpu.VMEM((1, NG), jnp.float32),            # ygu
+        pltpu.VMEM((Kd // 2, 128), jnp.int8),        # ead
+        pltpu.VMEM((Kd // 2, 128), jnp.int8),        # ebd
+        pltpu.VMEM((4, kbd), jnp.float32),           # scd
+        pltpu.VMEM((2, kh_pg, bk, D), cache_dtype),  # kbuf
+        pltpu.VMEM((2, kh_pg, bk, D), cache_dtype),  # vbuf
+        pltpu.VMEM((NW, KW // 2), jnp.int8),         # wo qs resident
+        pltpu.VMEM((NW, KW // 32), wo.es.dtype),     # wo es
+        pltpu.VMEM((NW, KW // 32), wo.em.dtype),     # wo em
+        pltpu.SemaphoreType.DMA((2, 2)),             # kv sems
+        pltpu.SemaphoreType.DMA((3,)),               # wo sems
+    ]
+
+    kernel = functools.partial(
+        _layer_kernel,
+        nQ=nQ, bnQ=bnQ, nA=nA, bnA=bnA, nD=nD, bnD=bnD,
+        n_blocks=n_blocks, n_groups=n_groups, ht=ht, bk=bk,
+        nH=nH, nKV=nKV, Kd=Kd, segsD=segsD,
+        splitsQ=splitsQ, splitsW=splitsW, splitsA=splitsA, splitsD=splitsD,
+        cache_dtype=cache_dtype, rms_eps=rms_eps)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, bnD), omap),            # h_next tiles
+            pl.BlockSpec((nKV, D), cmap),            # k_new
+            pl.BlockSpec((nKV, D), cmap),            # v_new
+        ],
+        scratch_shapes=scratch,
+    )
+
+    wbytes = wqkv.nbytes + wo.nbytes + w_guf.nbytes + w_down.nbytes
+    h_next, k_new, v_new = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, ND), jnp.float32),
+            jax.ShapeDtypeStruct((nKV, D), cache_dtype),
+            jax.ShapeDtypeStruct((nKV, D), cache_dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 2**20),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (NQ * KQ + NW * KW + NG * KG + ND * Kd)
+            + 4 * nH * S * D,
+            bytes_accessed=wbytes
+            + 2 * nKV * S * D * k_cache.dtype.itemsize,
+            transcendentals=nH * S + Kd),
+        interpret=interpret_default(interpret),
+    )(lens_incl, lyr, *operands)
+    return h_next, k_new, v_new

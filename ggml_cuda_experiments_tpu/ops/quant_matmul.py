@@ -1724,6 +1724,48 @@ def _qmatmul_chunk(xp, ql, N, K, kb, block_n, out_dtype, interpret):
 # fused MLP kernel: w_gu matvec -> silu*mul -> w_down matvec, ONE launch
 # ---------------------------------------------------------------------------
 
+
+def _act_quant_build(xp, segs: int, eye_f32, ea, eb, sc):
+    """In-kernel chunk8 activation-operand build from a PERMUTED [1, K]
+    value: per-32-block int8 quantization of a = xl - xh/16 and b = xh/16,
+    diagonal selector tiles ea/eb [K/2, 128] (eye outer product), and the
+    sc rows (correction c, block sums xs, scales sa/sb) — the in-kernel
+    twin of the XLA prep in _qmatmul_chunk8. Shared by the fused-MLP
+    mid boundary and the layer kernel's entry/post-attention boundaries."""
+    K = xp.shape[1]
+    kh = K // 2
+    xl = xp[:, :kh]
+    xh = xp[:, kh:]
+    a = xl - xh / 16.0
+    b = xh / 16.0
+    span = kh // segs                             # byte-lanes per segment
+    nrow = span // 128
+    for s in range(segs):
+        base = s * span
+        amax_a = jnp.zeros((1, 128), jnp.float32)
+        amax_b = jnp.zeros((1, 128), jnp.float32)
+        sum_xh = jnp.zeros((1, 128), jnp.float32)
+        sum_x = jnp.zeros((1, 128), jnp.float32)
+        for t in range(nrow):
+            sl = slice(base + t * 128, base + (t + 1) * 128)
+            amax_a = jnp.maximum(amax_a, jnp.abs(a[:, sl]))
+            amax_b = jnp.maximum(amax_b, jnp.abs(b[:, sl]))
+            sum_xh = sum_xh + xh[:, sl]
+            sum_x = sum_x + xl[:, sl] + xh[:, sl]
+        sa = jnp.where(amax_a == 0.0, 1.0, amax_a / 127.0)
+        sb = jnp.where(amax_b == 0.0, 1.0, amax_b / 127.0)
+        cs = slice(s * 128, (s + 1) * 128)
+        sc[0:1, cs] = 8.0 * sum_xh
+        sc[1:2, cs] = sum_x
+        sc[2:3, cs] = sa
+        sc[3:4, cs] = sb
+        for t in range(nrow):
+            sl = slice(base + t * 128, base + (t + 1) * 128)
+            aq = jnp.clip(jnp.round(a[:, sl] / sa), -127, 127)
+            bq = jnp.clip(jnp.round(b[:, sl] / sb), -127, 127)
+            ea[sl, :] = (eye_f32 * aq).astype(jnp.int8)
+            eb[sl, :] = (eye_f32 * bq).astype(jnp.int8)
+
 def _fused_mlp_kernel(*refs,
                       nA: int, bnA: int, Kd: int,
                       splitsA, splitsD, segsD: int,
@@ -1795,38 +1837,8 @@ def _fused_mlp_kernel(*refs,
         g = ygu[0:1, :Kd]
         u = ygu[0:1, Kd:]
         mid = (g * jax.nn.sigmoid(g)) * u             # silu(g)*u, [1, Kd]
-        xl = mid[:, :khd]
-        xh = mid[:, khd:]
-        a = xl - xh / 16.0
-        b = xh / 16.0
-        eye = eye_ref[...].astype(jnp.float32)        # [128, 128]
-        span = khd // segsD                           # byte-lanes/segment
-        nrow = span // 128
-        for s in range(segsD):
-            base = s * span
-            amax_a = jnp.zeros((1, 128), jnp.float32)
-            amax_b = jnp.zeros((1, 128), jnp.float32)
-            sum_xh = jnp.zeros((1, 128), jnp.float32)
-            sum_x = jnp.zeros((1, 128), jnp.float32)
-            for t in range(nrow):
-                sl = slice(base + t * 128, base + (t + 1) * 128)
-                amax_a = jnp.maximum(amax_a, jnp.abs(a[:, sl]))
-                amax_b = jnp.maximum(amax_b, jnp.abs(b[:, sl]))
-                sum_xh = sum_xh + xh[:, sl]
-                sum_x = sum_x + xl[:, sl] + xh[:, sl]
-            sa = jnp.where(amax_a == 0.0, 1.0, amax_a / 127.0)
-            sb = jnp.where(amax_b == 0.0, 1.0, amax_b / 127.0)
-            cs = slice(s * 128, (s + 1) * 128)
-            scd[0:1, cs] = 8.0 * sum_xh
-            scd[1:2, cs] = sum_x
-            scd[2:3, cs] = sa
-            scd[3:4, cs] = sb
-            for t in range(nrow):
-                sl = slice(base + t * 128, base + (t + 1) * 128)
-                aq = jnp.clip(jnp.round(a[:, sl] / sa), -127, 127)
-                bq = jnp.clip(jnp.round(b[:, sl] / sb), -127, 127)
-                ead[sl, :] = (eye * aq).astype(jnp.int8)
-                ebd[sl, :] = (eye * bq).astype(jnp.int8)
+        _act_quant_build(mid, segsD, eye_ref[...].astype(jnp.float32),
+                         ead, ebd, scd)
 
     @pl.when(i >= nA)
     def _down():
