@@ -60,6 +60,14 @@ from ggml_cuda_experiments_tpu.ops.quant_matmul import (
 from ggml_cuda_experiments_tpu.utils.platform import interpret_default
 
 
+# Measurement-only phase gate (tools/layer_probe.py): "all" (production),
+# "no_attn" (skip the flash fori-loop body; W_o consumes stale ofin),
+# "no_bound" (skip rope/W_o/mid boundary builds; consumers read stale
+# selectors), "stream" (skip ALL compute: only the per-phase stores that
+# keep outputs defined). Bisection levers for the kernel's cost structure.
+LAYER_PHASE = "all"
+
+
 def _layer_kernel(
     *refs,
     nQ: int, bnQ: int, nA: int, bnA: int, nD: int, bnD: int,
@@ -83,6 +91,7 @@ def _layer_kernel(
     kbuf, vbuf, woq, woes, woem = (next(it) for _ in range(5))
     kv_sem, wo_sem = it
 
+    phase = LAYER_PHASE                           # trace-time probe gate
     i = pl.program_id(0)
     D = 128
     r = nH // nKV
@@ -112,11 +121,12 @@ def _layer_kernel(
 
     @pl.when(i == 0)
     def _entry():
-        h = h_ref[...].astype(jnp.float32)        # [1, dim] permuted
-        var = jnp.sum(h * h, axis=1, keepdims=True) / h.shape[1]
-        x = h * jax.lax.rsqrt(var + rms_eps) * anorm_ref[...]
-        _act_quant_build(x, 1, eye_ref[...].astype(jnp.float32),
-                         eas, ebs, sca)
+        if phase in ("all", "no_attn"):
+            h = h_ref[...].astype(jnp.float32)    # [1, dim] permuted
+            var = jnp.sum(h * h, axis=1, keepdims=True) / h.shape[1]
+            x = h * jax.lax.rsqrt(var + rms_eps) * anorm_ref[...]
+            _act_quant_build(x, 1, eye_ref[...].astype(jnp.float32),
+                             eas, ebs, sca)
         for c in wo_copies():                     # stream W_o behind all
             c.start()
         for c in kv_copies(0, 0):                 # first KV block
@@ -124,6 +134,10 @@ def _layer_kernel(
 
     @pl.when(i < nQ)
     def _qkv_phase():
+        if phase == "stream":
+            yqkv[0:1, pl.ds(i * bnQ, bnQ)] = jnp.sum(
+                qqs_ref[:, :128].astype(jnp.float32), axis=1)[None, :]
+            return
         es = qes_ref[...].astype(jnp.float32)
         em = qem_ref[...].astype(jnp.float32)
         y = _chunk8_compute(eas, ebs, sca[...], qqs_ref, es, em,
@@ -134,6 +148,10 @@ def _layer_kernel(
 
     @pl.when(i == nQ - 1)
     def _rope_boundary():
+        if phase in ("no_bound", "stream"):
+            kn_ref[...] = jnp.zeros_like(kn_ref)
+            vn_ref[...] = jnp.zeros_like(vn_ref)
+            return
         Cq, S2q = rope_ref[0:1, :], rope_ref[1:2, :]
         C, S2 = rope_ref[2:3, :], rope_ref[3:4, :]
         for h in range(nH):
@@ -153,6 +171,8 @@ def _layer_kernel(
 
     @pl.when(i == nQ)
     def _attn_phase():
+        if phase == "stream":
+            return
         total = n_groups * nvalid
         newpos = length - 1
 
@@ -225,8 +245,10 @@ def _layer_kernel(
 
             return 0
 
-        jax.lax.fori_loop(0, total, body, 0)
-
+        if phase == "all":
+            jax.lax.fori_loop(0, total, body, 0)
+        if phase == "no_bound":
+            return
         # W_o boundary: transpose per-head output on the MXU and quantize
         # into the shared selector scratch (wof column layout of W_o)
         eye = eye_ref[...].astype(jnp.float32)
@@ -259,6 +281,10 @@ def _layer_kernel(
     def _wo_and_mlp_entry():
         for c in wo_copies():
             c.wait()
+        if phase == "stream":
+            h2[...] = h_ref[...].astype(jnp.float32) + woq[
+                0:1, 0:h2.shape[1]].astype(jnp.float32)
+            return
         es = woes[...].astype(jnp.float32)
         em = woem[...].astype(jnp.float32)
 
@@ -271,6 +297,8 @@ def _layer_kernel(
         if res is not None:
             h2[...] = res + h_ref[...].astype(jnp.float32)
 
+        if phase == "no_bound":
+            return
         hv = h2[...]
         var = jnp.sum(hv * hv, axis=1, keepdims=True) / hv.shape[1]
         x = hv * jax.lax.rsqrt(var + rms_eps) * mnorm_ref[...]
@@ -279,9 +307,13 @@ def _layer_kernel(
 
     @pl.when(jnp.logical_and(i >= A0, i < D0))
     def _gu_phase():
+        t = i - A0
+        if phase == "stream":
+            ygu[0:1, pl.ds(t * bnA, bnA)] = jnp.sum(
+                gqs_ref[:, :128].astype(jnp.float32), axis=1)[None, :]
+            return
         es = ges_ref[...].astype(jnp.float32)
         em = gem_ref[...].astype(jnp.float32)
-        t = i - A0
         y = _chunk8_compute(eas, ebs, sca[...], gqs_ref, es, em,
                             n_segs=1, splits=splitsA,
                             store=_store_row(ygu, t * bnA))
@@ -290,6 +322,8 @@ def _layer_kernel(
 
     @pl.when(i == D0 - 1)
     def _mid_boundary():
+        if phase in ("no_bound", "stream"):
+            return
         g = ygu[0:1, :Kd]
         u = ygu[0:1, Kd:]
         mid = (g * jax.nn.sigmoid(g)) * u
@@ -298,9 +332,13 @@ def _layer_kernel(
 
     @pl.when(i >= D0)
     def _down_phase():
+        t = i - D0
+        if phase == "stream":
+            o_ref[...] = jnp.sum(
+                dqs_ref[:, :128].astype(jnp.float32), axis=1)[None, :bnD]
+            return
         es = des_ref[...].astype(jnp.float32)
         em = dem_ref[...].astype(jnp.float32)
-        t = i - D0
 
         def store(r0, rows, y):                   # mlp out + residual
             o_ref[0:1, pl.ds(r0, rows)] = (

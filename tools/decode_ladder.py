@@ -78,11 +78,27 @@ def main():
         ("+ fused attention", dict(fuse_attn=True, fuse_mlp=False)),
         ("+ both megakernels", dict(fuse_attn=True, fuse_mlp=True)),
     ]
+    hperm_params = None
+    if "--hperm" in sys.argv:
+        t0 = time.perf_counter()
+        hperm_params = jax.device_put(
+            llama.permute_hidden_params(params, base))
+        jax.block_until_ready(jax.tree.leaves(hperm_params))
+        log(f"hperm transform in {time.perf_counter()-t0:.0f}s")
+        rungs += [
+            ("hperm + both megakernels",
+             dict(hperm=True, fuse_attn=True, fuse_mlp=True)),
+            ("hperm + LAYER megakernel",
+             dict(hperm=True, fuse_layer=True)),
+        ]
+    if "--layer-only" in sys.argv:
+        rungs = [r for r in rungs if "hperm" in r[0] or "both" in r[0]]
     results = []
     for name, kw in rungs:
         cfg = dataclasses.replace(base, **kw)
+        p = hperm_params if kw.get("hperm") else params
         t0 = time.perf_counter()
-        tok_s = measure(params, cfg)
+        tok_s = measure(p, cfg)
         results.append((name, tok_s))
         log(f"{name}: {tok_s:.1f} tok/s  "
             f"({1e3/tok_s:.2f} ms/token; rung took "
