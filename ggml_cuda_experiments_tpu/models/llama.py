@@ -65,6 +65,13 @@ def apply_linear(x: jax.Array, w, xq8: bool = False,
                               axis=-1)
             y = qmatmul_xla(x2, w)
     else:
+        if x_prepermuted:
+            # dense weights store logical columns — restore logical order
+            # (cfg.hperm with a non-quantized projection, e.g. GGUF float
+            # tensors loaded without requantize; round-4 advisor)
+            from ggml_cuda_experiments_tpu.ops.quant_matmul import _inv_perm
+            x2 = jnp.take(x2, jnp.asarray(_inv_perm(x2.shape[-1])),
+                          axis=-1)
         y = jax.lax.dot_general(
             x2.astype(w.dtype), w,
             dimension_numbers=(((1,), (1,)), ((), ())),
@@ -737,6 +744,14 @@ def permute_hidden_params(params: Params, cfg: ModelConfig) -> Params:
     out["layers"] = []
     for layer in params["layers"]:
         assert "router" not in layer, "hperm: MoE layers unsupported"
+        # x-consuming weights take x_prepermuted=True: their quant layout
+        # must be the std interleave (q6_k is fine — qmatmul un-permutes
+        # for its own lane order; "wof" would silently mis-multiply)
+        for name in ("wq", "wk", "wv", "wqkv", "w_gate", "w_up", "w_gu"):
+            w = layer.get(name)
+            if isinstance(w, QuantLinear):
+                assert w.layout == "std", \
+                    f"hperm: {name} layout {w.layout!r} unsupported"
         l2 = dict(layer)
         l2["attn_norm"] = pvec(layer["attn_norm"])
         l2["mlp_norm"] = pvec(layer["mlp_norm"])

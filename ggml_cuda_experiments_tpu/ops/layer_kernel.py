@@ -60,20 +60,13 @@ from ggml_cuda_experiments_tpu.ops.quant_matmul import (
 from ggml_cuda_experiments_tpu.utils.platform import interpret_default
 
 
-# Measurement-only phase gate (tools/layer_probe.py): "all" (production),
-# "no_attn" (skip the flash fori-loop body; W_o consumes stale ofin),
-# "no_bound" (skip rope/W_o/mid boundary builds; consumers read stale
-# selectors), "stream" (skip ALL compute: only the per-phase stores that
-# keep outputs defined). Bisection levers for the kernel's cost structure.
-LAYER_PHASE = "all"
-
-
 def _layer_kernel(
     *refs,
     nQ: int, bnQ: int, nA: int, bnA: int, nD: int, bnD: int,
     n_blocks: int, n_groups: int, ht: int, bk: int, nH: int, nKV: int,
     Kd: int, segsD: int,
     splitsQ, splitsW, splitsA, splitsD, cache_dtype, rms_eps: float,
+    phase: str = "all",
 ):
     it = iter(refs)
     len_ref, lyr_ref = next(it), next(it)         # scalar prefetch
@@ -91,7 +84,12 @@ def _layer_kernel(
     kbuf, vbuf, woq, woes, woem = (next(it) for _ in range(5))
     kv_sem, wo_sem = it
 
-    phase = LAYER_PHASE                           # trace-time probe gate
+    # ``phase``: measurement-only trace-time gate (tools/layer_probe.py):
+    # "all" (production), "no_attn" (skip the flash fori-loop body; W_o
+    # consumes stale ofin), "no_bound" (skip rope/W_o/mid boundary builds;
+    # consumers read stale selectors), "stream" (skip ALL compute: only
+    # the per-phase stores that keep outputs defined). A static kwarg —
+    # NOT a module global — so a crashed probe can't poison later traces.
     i = pl.program_id(0)
     D = 128
     r = nH // nKV
@@ -171,10 +169,26 @@ def _layer_kernel(
 
     @pl.when(i == nQ)
     def _attn_phase():
-        if phase == "stream":
-            return
         total = n_groups * nvalid
         newpos = length - 1
+
+        def drain(t, _):
+            # DMA-only twin of ``body`` for the probe phases that skip
+            # attention compute: every started KV copy MUST still be
+            # waited (an unwaited async copy is an illegal Mosaic
+            # program — it crashed the first r5 bisection with a TPU
+            # INTERNAL error), and the probe wants the KV stream's DMA
+            # cost included in every phase.
+            slot = jax.lax.rem(t, 2)
+
+            @pl.when(t + 1 < total)
+            def _prefetch():
+                for c in kv_copies(t + 1, 1 - slot):
+                    c.start()
+
+            for c in kv_copies(t, slot):
+                c.wait()
+            return 0
 
         def body(t, _):
             slot = jax.lax.rem(t, 2)
@@ -245,9 +259,11 @@ def _layer_kernel(
 
             return 0
 
-        if phase == "all":
+        if phase in ("all", "no_bound"):
             jax.lax.fori_loop(0, total, body, 0)
-        if phase == "no_bound":
+        else:                                 # no_attn / stream: DMA only
+            jax.lax.fori_loop(0, total, drain, 0)
+        if phase in ("no_bound", "stream"):
             return
         # W_o boundary: transpose per-head output on the MXU and quantize
         # into the shared selector scratch (wof column layout of W_o)
@@ -282,8 +298,10 @@ def _layer_kernel(
         for c in wo_copies():
             c.wait()
         if phase == "stream":
+            # touch the streamed W_o bytes with a [1, dim]-shaped read
+            # (woq is [NW, KW//2]; two rows reshape to one dim-wide row)
             h2[...] = h_ref[...].astype(jnp.float32) + woq[
-                0:1, 0:h2.shape[1]].astype(jnp.float32)
+                0:2, :].astype(jnp.float32).reshape(1, -1)
             return
         es = woes[...].astype(jnp.float32)
         em = woem[...].astype(jnp.float32)
@@ -382,7 +400,7 @@ def layer_step_supported(layer: dict, n_heads: int, n_kv_heads: int,
 @functools.partial(
     jax.jit,
     static_argnames=("n_heads", "n_kv_heads", "head_dim", "rope_theta",
-                     "rms_eps", "scale", "block_k", "interpret"),
+                     "rms_eps", "scale", "block_k", "interpret", "phase"),
 )
 def layer_step(
     h: jax.Array,                 # [1, dim] PERMUTED hidden (pre-norm)
@@ -402,6 +420,7 @@ def layer_step(
     scale: float | None = None,
     block_k: int = 256,
     interpret: bool | None = None,
+    phase: str = "all",
 ):
     """Returns (h_next [1, dim] f32 PERMUTED post-layer hidden,
     k_new [Hkv, D], v_new [Hkv, D]) for the caller's cache append."""
@@ -531,7 +550,7 @@ def layer_step(
         n_blocks=n_blocks, n_groups=n_groups, ht=ht, bk=bk,
         nH=nH, nKV=nKV, Kd=Kd, segsD=segsD,
         splitsQ=splitsQ, splitsW=splitsW, splitsA=splitsA, splitsD=splitsD,
-        cache_dtype=cache_dtype, rms_eps=rms_eps)
+        cache_dtype=cache_dtype, rms_eps=rms_eps, phase=phase)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

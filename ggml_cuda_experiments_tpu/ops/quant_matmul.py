@@ -1064,6 +1064,12 @@ def qmatmul(
     if out_dtype is None:
         out_dtype = x.dtype
     if ql.fmt == "q6_k":
+        if x_prepermuted:
+            # cfg.hperm supplies x in the q4-class std interleave; q6_k
+            # uses a different lane order (_perm_q6), so restore logical
+            # order first — feeding the hperm order straight into
+            # permute_activations_q6 produces garbage (round-4 advisor).
+            x = jnp.take(x, jnp.asarray(_inv_perm(K)), axis=-1)
         kb6 = K // 16
         if B == 1 and kb6 % 128 == 0:
             xp6 = permute_activations_q6(x.astype(jnp.float32))
@@ -1098,7 +1104,10 @@ def qmatmul(
 
     # ``x_prepermuted``: caller already supplies x in the interleaved
     # column order (e.g. the fused-MLP intermediate, whose producer's row
-    # order was chosen to match) — skip the permute
+    # order was chosen to match) — skip the permute. That order is the
+    # std interleave; a "wof"-layout weight would need a different one.
+    assert not (x_prepermuted and ql.layout != "std"), \
+        f"x_prepermuted expects std layout, got {ql.layout!r}"
     xp = (x.astype(jnp.float32) if x_prepermuted
           else _permute_x(x.astype(jnp.float32), ql.layout))
     fields = _fields(ql)

@@ -131,3 +131,20 @@ def test_layer_kernel_matches_composed(weights):
     assert float(np.max(np.abs(vn - vn_r))) < 2e-2 * max(
         1.0, float(np.max(np.abs(vn_r))))
     assert np.isfinite(a).all()
+
+
+@pytest.mark.parametrize("phase", ["no_bound", "no_attn", "stream"])
+def test_probe_phases_trace(weights, phase):
+    """Every layer_probe bisection phase must at least TRACE (the round-4
+    'stream' variant hit a scratch-slice shape error at trace time;
+    jax.eval_shape catches that class of bug without running the kernel)."""
+    w = weights
+    lens = jnp.asarray([23], jnp.int32)
+    out = jax.eval_shape(
+        lambda h: layer_step(
+            h, w["wqkv"], w["wo_p"], w["guf"], w["down_p"],
+            jnp.asarray(w["anorm"]), jnp.asarray(w["mnorm"]),
+            w["kc"], w["vc"], lens, 1,
+            n_heads=HQ, n_kv_heads=HKV, head_dim=D, phase=phase),
+        jax.ShapeDtypeStruct((1, DIM), jnp.float32))
+    assert out[0].shape == (1, DIM)

@@ -284,6 +284,25 @@ def test_q6_chunk_kernel_matvec(rng):
     assert_close(got, want, atol=5e-4, rtol=5e-4, name="q6_k chunk matvec")
 
 
+@pytest.mark.parametrize("batch", [1, 4])
+def test_q6_x_prepermuted(rng, batch):
+    """q6_k must honor x_prepermuted (cfg.hperm feeds x in the q4-class
+    std interleave; q6_k's own lane order differs — round-4 advisor found
+    the permute applied on top of the hperm order, producing garbage)."""
+    n, k = 256, 2048
+    w = (rng.normal(size=(n, k)) / np.sqrt(k)).astype(np.float32)
+    t = quant_ref.quantize_q6_k(w)
+    ql = qm.from_oracle(t)
+    x = rng.normal(size=(batch, k)).astype(np.float32)
+    xh = x[:, np.asarray(qm._perm(k))]       # hperm order, as llama.py does
+    # f32 compute: this CPU backend's DotThunk lacks bf16 dots at B>1
+    got = np.asarray(qm.qmatmul(jnp.asarray(xh), ql, x_prepermuted=True,
+                                compute_dtype=jnp.float32))
+    want = np.asarray(qm.qmatmul(jnp.asarray(x), ql,
+                                 compute_dtype=jnp.float32))
+    assert_close(got, want, atol=1e-5, rtol=1e-5, name="q6_k prepermuted")
+
+
 @pytest.mark.parametrize("batch,k", [(1, 1024), (8, 2048)])
 def test_q6_fallback_paths(rng, batch, k):
     """Unaligned-K B=1 and batched inputs route to the XLA dequant path."""
@@ -523,9 +542,10 @@ def test_plans_zero_pad_for_model_shapes():
         p = chunk8_plan(n, 4096)
         assert p["Np"] == n and p["bn"] == want_bn, (n, p)
     assert _bn_no_pad(11008, 4096) == 256
-    # benched shapes keep their measured-optimal plans
+    # benched shapes keep their measured-optimal plans (segmented-K cap
+    # raised to 1024 by the round-4 subtile fold: 79.7% vs 68.8 at 512)
     assert chunk8_plan(32768, 4096)["bn"] == 4096
-    assert chunk8_plan(4096, 12288)["bn"] == 512
+    assert chunk8_plan(4096, 12288)["bn"] == 1024
     # helper contract: only 128-multiple N; tiered fallback below
     assert _bn_no_pad(32000, 4096) == 3200
     assert _bn_no_pad(32001, 4096) == 0

@@ -3,8 +3,8 @@
 
 The first TPU ladder measured the layer kernel at 46.2 tok/s vs 109.9 for
 the two-megakernel path (+390 us/layer) — this probe times ONE layer's
-kernel directly, chained (h fed back), with the LAYER_PHASE trace-time
-gate isolating phases:
+kernel directly, chained (h fed back), with layer_step's static ``phase``
+kwarg isolating phases:
 
   all       production
   no_bound  skip rope / W_o-boundary / mid-boundary selector builds
@@ -75,13 +75,13 @@ def main():
     lens = jnp.asarray([57], jnp.int32)
     h0 = jnp.asarray(rng.normal(size=(1, DIM)).astype(np.float32))
 
-    def chain_layer(inner):
+    def chain_layer(inner, phase="all"):
         @jax.jit
         def f(h):
             def body(_, h):
                 hn, kn, vn = lk.layer_step(
                     h, wqkv, wo, guf, down, anorm, mnorm, kc, vc, lens, 0,
-                    n_heads=HQ, n_kv_heads=HKV, head_dim=D)
+                    n_heads=HQ, n_kv_heads=HKV, head_dim=D, phase=phase)
                 hn = jnp.where(jnp.isfinite(hn), hn, 0.0)
                 return (hn * 1e-3 + h0 + 1e-6 * jnp.sum(kn)
                         .astype(jnp.float32))
@@ -125,11 +125,8 @@ def main():
         if v == "mega2":
             us = marginal(chain_mega2) * 1e6
         else:
-            lk.LAYER_PHASE = v
-            lk.layer_step.clear_cache()
-            us = marginal(chain_layer) * 1e6
+            us = marginal(lambda i, v=v: chain_layer(i, phase=v)) * 1e6
         print(f"{v:9s}: {us:7.1f} us/layer", flush=True)
-    lk.LAYER_PHASE = "all"
 
 
 if __name__ == "__main__":
