@@ -88,8 +88,34 @@ def _layer_kernel(
     # "all" (production), "no_attn" (skip the flash fori-loop body; W_o
     # consumes stale ofin), "no_bound" (skip rope/W_o/mid boundary builds;
     # consumers read stale selectors), "stream" (skip ALL compute: only
-    # the per-phase stores that keep outputs defined). A static kwarg —
-    # NOT a module global — so a crashed probe can't poison later traces.
+    # the per-phase stores that keep outputs defined), and "only_qkv" /
+    # "only_wo" / "only_gu" / "only_down" (ONE matvec phase's compute +
+    # its operand build, everything else streamed — isolates which phase's
+    # compute fails to overlap the DMA). A static kwarg — NOT a module
+    # global — so a crashed probe can't poison production traces.
+    # "only_X[+Y...]" probes: any subset of {qkv, wo, gu, down} computes,
+    # the rest stream. Probe outputs stay LIVE (the down-phase stream
+    # store folds in yqkv/ygu/h2 at 1e-6) so Mosaic cannot dead-code a
+    # disabled consumer's producer and fake an overlap number.
+    only = (set(phase[5:].split("+")) if phase.startswith("only_")
+            else None)
+    c_qkv = phase in ("all", "no_attn", "no_bound") or (
+        only is not None and "qkv" in only)
+    c_flash = phase in ("all", "no_bound")
+    c_rope = phase in ("all", "no_attn")
+    b_entry = phase in ("all", "no_attn") or c_qkv and only is not None
+    b_wo = phase in ("all", "no_attn") or (
+        only is not None and "wo" in only)
+    c_wo = phase in ("all", "no_attn", "no_bound") or (
+        only is not None and "wo" in only)
+    b_mid = phase in ("all", "no_attn") or (
+        only is not None and "gu" in only)
+    c_gu = phase in ("all", "no_attn", "no_bound") or (
+        only is not None and "gu" in only)
+    b_down = phase in ("all", "no_attn") or (
+        only is not None and "down" in only)
+    c_down = phase in ("all", "no_attn", "no_bound") or (
+        only is not None and "down" in only)
     i = pl.program_id(0)
     D = 128
     r = nH // nKV
@@ -119,7 +145,7 @@ def _layer_kernel(
 
     @pl.when(i == 0)
     def _entry():
-        if phase in ("all", "no_attn"):
+        if b_entry:
             h = h_ref[...].astype(jnp.float32)    # [1, dim] permuted
             var = jnp.sum(h * h, axis=1, keepdims=True) / h.shape[1]
             x = h * jax.lax.rsqrt(var + rms_eps) * anorm_ref[...]
@@ -132,7 +158,7 @@ def _layer_kernel(
 
     @pl.when(i < nQ)
     def _qkv_phase():
-        if phase == "stream":
+        if not c_qkv:
             yqkv[0:1, pl.ds(i * bnQ, bnQ)] = jnp.sum(
                 qqs_ref[:, :128].astype(jnp.float32), axis=1)[None, :]
             return
@@ -146,7 +172,7 @@ def _layer_kernel(
 
     @pl.when(i == nQ - 1)
     def _rope_boundary():
-        if phase in ("no_bound", "stream"):
+        if not c_rope:
             kn_ref[...] = jnp.zeros_like(kn_ref)
             vn_ref[...] = jnp.zeros_like(vn_ref)
             return
@@ -259,11 +285,11 @@ def _layer_kernel(
 
             return 0
 
-        if phase in ("all", "no_bound"):
+        if c_flash:
             jax.lax.fori_loop(0, total, body, 0)
-        else:                                 # no_attn / stream: DMA only
+        else:                                 # phases w/o flash: DMA only
             jax.lax.fori_loop(0, total, drain, 0)
-        if phase in ("no_bound", "stream"):
+        if not b_wo:
             return
         # W_o boundary: transpose per-head output on the MXU and quantize
         # into the shared selector scratch (wof column layout of W_o)
@@ -297,25 +323,26 @@ def _layer_kernel(
     def _wo_and_mlp_entry():
         for c in wo_copies():
             c.wait()
-        if phase == "stream":
+        if not c_wo:
             # touch the streamed W_o bytes with a [1, dim]-shaped read
             # (woq is [NW, KW//2]; two rows reshape to one dim-wide row)
             h2[...] = h_ref[...].astype(jnp.float32) + woq[
                 0:2, :].astype(jnp.float32).reshape(1, -1)
-            return
-        es = woes[...].astype(jnp.float32)
-        em = woem[...].astype(jnp.float32)
+        else:
+            es = woes[...].astype(jnp.float32)
+            em = woem[...].astype(jnp.float32)
 
-        def store(r0, rows, y):                   # attn out + residual
-            h2[0:1, pl.ds(r0, rows)] = (
-                y[None, :] + h_ref[0:1, pl.ds(r0, rows)].astype(jnp.float32))
+            def store(r0, rows, y):               # attn out + residual
+                h2[0:1, pl.ds(r0, rows)] = (
+                    y[None, :]
+                    + h_ref[0:1, pl.ds(r0, rows)].astype(jnp.float32))
 
-        res = _chunk8_compute(eas, ebs, sca[...], woq, es, em,
-                              n_segs=1, splits=splitsW, store=store)
-        if res is not None:
-            h2[...] = res + h_ref[...].astype(jnp.float32)
+            res = _chunk8_compute(eas, ebs, sca[...], woq, es, em,
+                                  n_segs=1, splits=splitsW, store=store)
+            if res is not None:
+                h2[...] = res + h_ref[...].astype(jnp.float32)
 
-        if phase == "no_bound":
+        if not b_mid:
             return
         hv = h2[...]
         var = jnp.sum(hv * hv, axis=1, keepdims=True) / hv.shape[1]
@@ -326,7 +353,7 @@ def _layer_kernel(
     @pl.when(jnp.logical_and(i >= A0, i < D0))
     def _gu_phase():
         t = i - A0
-        if phase == "stream":
+        if not c_gu:
             ygu[0:1, pl.ds(t * bnA, bnA)] = jnp.sum(
                 gqs_ref[:, :128].astype(jnp.float32), axis=1)[None, :]
             return
@@ -340,7 +367,7 @@ def _layer_kernel(
 
     @pl.when(i == D0 - 1)
     def _mid_boundary():
-        if phase in ("no_bound", "stream"):
+        if not b_down:
             return
         g = ygu[0:1, :Kd]
         u = ygu[0:1, Kd:]
@@ -351,9 +378,13 @@ def _layer_kernel(
     @pl.when(i >= D0)
     def _down_phase():
         t = i - D0
-        if phase == "stream":
-            o_ref[...] = jnp.sum(
-                dqs_ref[:, :128].astype(jnp.float32), axis=1)[None, :bnD]
+        if not c_down:
+            o_ref[...] = (
+                jnp.sum(dqs_ref[:, :128].astype(jnp.float32),
+                        axis=1)[None, :bnD]
+                + 1e-6 * yqkv[0:1, pl.ds(t * bnD, bnD)]
+                + 1e-6 * ygu[0:1, pl.ds(t * bnD, bnD)]
+                + 1e-6 * h2[0:1, pl.ds(t * bnD, bnD)])
             return
         es = des_ref[...].astype(jnp.float32)
         em = dem_ref[...].astype(jnp.float32)
@@ -400,7 +431,8 @@ def layer_step_supported(layer: dict, n_heads: int, n_kv_heads: int,
 @functools.partial(
     jax.jit,
     static_argnames=("n_heads", "n_kv_heads", "head_dim", "rope_theta",
-                     "rms_eps", "scale", "block_k", "interpret", "phase"),
+                     "rms_eps", "scale", "block_k", "interpret", "phase",
+                     "tile_cap"),
 )
 def layer_step(
     h: jax.Array,                 # [1, dim] PERMUTED hidden (pre-norm)
@@ -421,6 +453,7 @@ def layer_step(
     block_k: int = 256,
     interpret: bool | None = None,
     phase: str = "all",
+    tile_cap: int | None = None,
 ):
     """Returns (h_next [1, dim] f32 PERMUTED post-layer hidden,
     k_new [Hkv, D], v_new [Hkv, D]) for the caller's cache append."""
@@ -439,15 +472,18 @@ def layer_step(
     kh_pg = ht // r
     n_groups = nH // ht
 
+    # ``tile_cap``: probe-only override of the wqkv/w_gu weight-tile rows
+    # (smaller windows halve the double-buffer VMEM — the lever that tests
+    # whether VMEM pressure is what serializes compute against the stream)
     NQ, KQ = wqkv.array_shape
-    planQ = chunk8_plan(NQ, KQ)
+    planQ = chunk8_plan(NQ, KQ, block_n=tile_cap)
     bnQ, splitsQ = planQ["bn"], planQ["splits"]
     assert NQ % bnQ == 0
     nQ = NQ // bnQ
     NW, KW = wo.array_shape
     splitsW = chunk8_plan(NW, KW, block_n=NW)["splits"]
     NG, KG = w_guf.array_shape
-    planA = chunk8_plan(NG, KG)
+    planA = chunk8_plan(NG, KG, block_n=tile_cap)
     bnA, splitsA = planA["bn"], planA["splits"]
     assert NG % bnA == 0
     nA = NG // bnA

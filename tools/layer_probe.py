@@ -10,6 +10,10 @@ kwarg isolating phases:
   no_bound  skip rope / W_o-boundary / mid-boundary selector builds
   no_attn   skip the flash fori-loop body as well
   stream    skip ALL compute (windows + explicit DMA only)
+  only_qkv / only_wo / only_gu / only_down
+            ONE matvec phase's compute (+ its operand build), everything
+            else streamed — (only_X - stream) isolates that phase's
+            non-overlapped compute
   mega2     REFERENCE: attention_fused + mlp_fused chained in the same
             process (the path the layer kernel must beat)
 
@@ -46,6 +50,8 @@ def main():
     ap.add_argument("--i2", type=int, default=128)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--variants", default="all,no_bound,no_attn,stream,mega2,all")
+    ap.add_argument("--tile-cap", type=int, default=None,
+                    help="layer_step tile_cap override (VMEM-pressure probe)")
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
@@ -81,7 +87,8 @@ def main():
             def body(_, h):
                 hn, kn, vn = lk.layer_step(
                     h, wqkv, wo, guf, down, anorm, mnorm, kc, vc, lens, 0,
-                    n_heads=HQ, n_kv_heads=HKV, head_dim=D, phase=phase)
+                    n_heads=HQ, n_kv_heads=HKV, head_dim=D, phase=phase,
+                    tile_cap=args.tile_cap)
                 hn = jnp.where(jnp.isfinite(hn), hn, 0.0)
                 return (hn * 1e-3 + h0 + 1e-6 * jnp.sum(kn)
                         .astype(jnp.float32))
