@@ -105,9 +105,9 @@ def _layer_kernel(
     c_rope = phase in ("all", "no_attn")
     b_entry = phase in ("all", "no_attn") or c_qkv and only is not None
     b_wo = phase in ("all", "no_attn") or (
-        only is not None and "wo" in only)
+        only is not None and bool(only & {"wo", "wob"}))
     c_wo = phase in ("all", "no_attn", "no_bound") or (
-        only is not None and "wo" in only)
+        only is not None and bool(only & {"wo", "woc"}))
     b_mid = phase in ("all", "no_attn") or (
         only is not None and "gu" in only)
     c_gu = phase in ("all", "no_attn", "no_bound") or (
