@@ -456,8 +456,7 @@ def _forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
             if layer_step_supported(layer, cfg.n_heads, cfg.n_kv_heads,
                                     cfg.head_dim, cache.k.dtype):
                 h2, kn, vn = layer_step(
-                    h[:, 0, :], layer["wqkv"], layer["wo"],
-                    layer["w_gu_f"], layer["w_down"],
+                    h[:, 0, :], layer["w_pack"], layer["w_down"],
                     layer["attn_norm"], layer["mlp_norm"],
                     cache.k, cache.v, cache.lengths, li,
                     n_heads=cfg.n_heads, n_kv_heads=cfg.n_kv_heads,
@@ -757,5 +756,16 @@ def permute_hidden_params(params: Params, cfg: ModelConfig) -> Params:
         l2["mlp_norm"] = pvec(layer["mlp_norm"])
         l2["wo"] = prow(layer["wo"])
         l2["w_down"] = prow(layer["w_down"])
+        if all(isinstance(l2.get(k), QuantLinear)
+               and l2[k].fmt == "q4_k" and l2[k].enc == "e"
+               for k in ("wqkv", "wo", "w_gu_f")):
+            # one row-stacked weight stream for the whole-layer kernel
+            # (cfg.fuse_layer): uniform tiles, one compute body — see
+            # ops/layer_kernel.pack_stream. Costs a device-side copy of
+            # wqkv+wo+w_gu (~84 MB/layer at 7B) next to the originals,
+            # which prefill and the unfused paths still use.
+            from ggml_cuda_experiments_tpu.ops.layer_kernel import (
+                pack_stream)
+            l2["w_pack"] = pack_stream(l2["wqkv"], l2["wo"], l2["w_gu_f"])
         out["layers"].append(l2)
     return out

@@ -8,6 +8,21 @@ into one grid, eliminating one Pallas launch + pipeline ramp and ALL
 inter-block XLA glue per layer (~20 us/launch measured,
 tools/layer_marginal.py --ablate, PERF.md "Decode (r4 s2)").
 
+PACKED UNIFORM STREAM (round-5 redesign). The round-4 kernel gave each
+projection its own windowed operands and its own pl.when compute body —
+and the round-5 bisection (PERF.md "Whole-layer megakernel") measured
+that with THREE OR MORE distinct matvec bodies in one Mosaic program,
+every phase's compute ran with ZERO overlap against the weight DMA
+(pairs of phases overlapped fine; the full set cost stream + compute +
+boundaries exactly, 2.4x the two-megakernel path). The fix is
+structural: wqkv, W_o and w_gu are packed offline into ONE row-stacked
+quantized weight (``pack_stream``), streamed as one windowed operand
+with ONE shared compute body — phase transitions are selector-scratch
+rebuilds at tile-edge boundary steps, not separate code paths. The
+reference's analogous discipline is keeping V transposed-contiguous so
+the hot loop needs no layout fixups (flash_row_float.h:176-177): pick
+the storage layout that makes the hot loop uniform.
+
 Requires the PERMUTED-HIDDEN layout (models/llama.permute_hidden_params +
 cfg.hperm): h arrives in the interleaved lane order, wo and w_down rows
 are pre-permuted so their outputs land back in that order — the chain
@@ -15,34 +30,38 @@ then never needs the in-kernel lane permute Mosaic does not have. The
 reference runs this pipeline as 3+ kernels with host glue
 (/root/reference/src/flash_row_float.h:4-200,415-472 + kernel_test.h
 :107-163); here the weight streams of all four projections share one
-continuous HBM pipeline, and the serial attention phase runs under the
-already-queued w_gu window DMA instead of leaving the DMA engine idle.
+continuous HBM pipeline.
 
-Phase map over the (nQ + 2 + nA + nD)-step grid (7B: 3+2+6+4 = 15):
-  step 0 (inside wqkv tile 0): attn RMSNorm + in-kernel activation
-      quantize/selector build (quant_matmul._act_quant_build); W_o
-      resident-copy + first KV block DMA start.
-  [0, nQ): wqkv chunk8 tiles -> yqkv scratch.
-  nQ-1: RoPE splice (q scaled+rotated, k/v_new emitted for the cache).
-  nQ: in-kernel double-buffered flash decode over valid KV blocks;
-      then the W_o boundary (MXU eye-dot transpose + quantize) rebuilds
-      the SAME selector scratch for W_o.
-  nQ+1: W_o matvec from the VMEM-resident copy -> h2 = h + attn_out;
-      MLP RMSNorm + quantize/selector rebuild (same scratch again —
-      Kq == Kwo == Kgu == dim so the three phases share eas/ebs/sca).
-  [nQ+2, nQ+2+nA): w_gu chunk8 tiles -> ygu (rows pre-ordered by
-      reorder_gu_rows, so no permute before w_down).
-  last gu step: mid = silu(g)*u + quantize/selector build for w_down.
-  [nQ+2+nA, end): w_down chunk8 tiles + residual from h2 -> h_next.
+Phase map over the (nP + nD)-step grid (7B: 10 + 4 = 14; the packed
+stream is [wqkv | W_o | w_gu] = 12288+4096+24576 rows, bn=4096 tiles):
+  step 0 (before tile 0): h2 <- h residual init; attn RMSNorm +
+      activation quantize/selector build (_act_quant_build); first KV
+      block DMA start.
+  [0, nP): ONE uniform chunk8 body: packed tile i -> ybig[i*bn:].
+  step nQt-1 (after its matvec): RoPE splice (q scaled+rotated, k/v_new
+      emitted for the cache append), then the in-kernel double-buffered
+      flash decode over valid KV blocks, then the W_o boundary (MXU
+      eye-dot transpose + quantize) rebuilds the SAME selector scratch —
+      the W_o tiles' DMA streams UNDER the flash loop.
+  step nQt+nWt (before its matvec): h2 += ybig W_o rows (residual), MLP
+      RMSNorm + selector rebuild (Kq == Kwo == Kgu == dim, so all three
+      phases share eas/ebs/sca and the one body).
+  step nP-1 (after its matvec): mid = silu(g)*u from ybig gu rows +
+      selector build for w_down (ead/ebd/scd).
+  [nP, nP+nD): w_down chunk8 tiles (segmented K) + residual -> h_next.
 
-Gate (layer_step_supported): B == 1, head_dim 128, dim == 4096, GQA
+Gate (layer_step_supported): B == 1, head_dim 128, dim == 4096, MHA/GQA
 r in {1, 2, 4, 8}, q4_k "e" weights in the fused layout (wqkv, wof wo,
-w_gu_f, w_down with Kd % 4096 == 0), bf16/f32 contiguous cache.
+w_gu_f, w_down with Kd % 4096 == 0) plus the packed stream
+(``pack_stream``; built by permute_hidden_params), bf16/f32 contiguous
+cache.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -54,74 +73,88 @@ from ggml_cuda_experiments_tpu.ops.fused_attention import (
     DEFAULT_MASK_VALUE, wof_shape_supported,
 )
 from ggml_cuda_experiments_tpu.ops.quant_matmul import (
-    QuantLinear, _act_quant_build, _chunk8_compute, _n_segs, _store_row,
-    chunk8_plan,
+    QuantLinear, _act_quant_build, _chunk8_compute, _n_segs, _row_splits,
+    _store_row, chunk8_plan,
 )
 from ggml_cuda_experiments_tpu.utils.platform import interpret_default
 
 
+def pack_stream(wqkv: QuantLinear, wo: QuantLinear,
+                w_guf: QuantLinear) -> QuantLinear:
+    """Row-stack [wqkv | wo | w_gu_f] into ONE q4_k-e weight so the layer
+    kernel streams a single uniform operand (see module docstring). Rows
+    are independent in the chunk8 encoding, so stacking is exact; the
+    column interpretation per segment (std / wof / gu_f) is carried by
+    the selector content built at the phase boundaries, not the bytes."""
+    ws = (wqkv, wo, w_guf)
+    k = wqkv.array_shape[1]
+    assert all(w.fmt == "q4_k" and w.enc == "e" for w in ws), \
+        [w.fmt + "/" + w.enc for w in ws]
+    assert all(w.array_shape[1] == k for w in ws), \
+        [w.array_shape for w in ws]
+    n_total = sum(w.array_shape[0] for w in ws)
+    cat = {f: jnp.concatenate([getattr(w, f) for w in ws], axis=0)
+           for f in ("qs", "es", "em")}
+    return dataclasses.replace(wqkv, shape=(n_total, k), **cat)
+
+
+def _pack_bn(nq: int, nw: int, ng: int, cap: int) -> int:
+    """Largest 128-multiple tile that lands every phase boundary on a
+    tile edge (7B: gcd(12288, 4096, 24576) -> 4096; llama3-8b GQA:
+    gcd(6144, 4096, 28672) -> 2048)."""
+    g = math.gcd(math.gcd(nq, nw), ng)
+    bn = min(cap, g)
+    while g % bn or bn % 128:
+        bn -= 128
+        assert bn > 0, (nq, nw, ng, cap)
+    return bn
+
+
 def _layer_kernel(
     *refs,
-    nQ: int, bnQ: int, nA: int, bnA: int, nD: int, bnD: int,
+    nP: int, bn: int, nQt: int, nWt: int, nD: int, bnD: int,
+    NQ: int, NW: int,
     n_blocks: int, n_groups: int, ht: int, bk: int, nH: int, nKV: int,
     Kd: int, segsD: int,
-    splitsQ, splitsW, splitsA, splitsD, cache_dtype, rms_eps: float,
+    splits, splitsD, cache_dtype, rms_eps: float,
     phase: str = "all",
 ):
     it = iter(refs)
     len_ref, lyr_ref = next(it), next(it)         # scalar prefetch
     h_ref, anorm_ref, mnorm_ref, rope_ref, eye_ref = (next(it)
                                                       for _ in range(5))
-    qqs_ref, qes_ref, qem_ref = next(it), next(it), next(it)
+    pqs_ref, pes_ref, pem_ref = next(it), next(it), next(it)
     k_any, v_any = next(it), next(it)
-    wqs_any, wes_any, wem_any = next(it), next(it), next(it)
-    gqs_ref, ges_ref, gem_ref = next(it), next(it), next(it)
     dqs_ref, des_ref, dem_ref = next(it), next(it), next(it)
     o_ref, kn_ref, vn_ref = next(it), next(it), next(it)
-    yqkv, qt, eas, ebs, sca = (next(it) for _ in range(5))
-    m_scr, l_scr, acc_scr, ofin, h2, ygu = (next(it) for _ in range(6))
+    ybig, qt, eas, ebs, sca = (next(it) for _ in range(5))
+    m_scr, l_scr, acc_scr, ofin, h2 = (next(it) for _ in range(5))
     ead, ebd, scd = (next(it) for _ in range(3))
-    kbuf, vbuf, woq, woes, woem = (next(it) for _ in range(5))
-    kv_sem, wo_sem = it
+    kbuf, vbuf = next(it), next(it)
+    (kv_sem,) = it
 
     # ``phase``: measurement-only trace-time gate (tools/layer_probe.py):
-    # "all" (production), "no_attn" (skip the flash fori-loop body; W_o
-    # consumes stale ofin), "no_bound" (skip rope/W_o/mid boundary builds;
-    # consumers read stale selectors), "stream" (skip ALL compute: only
-    # the per-phase stores that keep outputs defined), and "only_qkv" /
-    # "only_wo" / "only_gu" / "only_down" (ONE matvec phase's compute +
-    # its operand build, everything else streamed — isolates which phase's
-    # compute fails to overlap the DMA). A static kwarg — NOT a module
-    # global — so a crashed probe can't poison production traces.
-    # "only_X[+Y...]" probes: any subset of {qkv, wo, gu, down} computes,
-    # the rest stream. Probe outputs stay LIVE (the down-phase stream
-    # store folds in yqkv/ygu/h2 at 1e-6) so Mosaic cannot dead-code a
+    # "all" (production), "no_attn" (skip the flash fori-loop body),
+    # "no_bound" (skip rope/selector builds; consumers read stale
+    # selectors), "stream" (skip ALL compute), "only_pack" (the packed
+    # matvec stream + its builds, down streamed), "only_down" (inverse).
+    # A static kwarg — NOT a module global — so a crashed probe can't
+    # poison production traces. Probe outputs stay LIVE (the down-phase
+    # stream store folds ybig/h2 at 1e-6) so Mosaic cannot dead-code a
     # disabled consumer's producer and fake an overlap number.
-    only = (set(phase[5:].split("+")) if phase.startswith("only_")
-            else None)
-    c_qkv = phase in ("all", "no_attn", "no_bound") or (
-        only is not None and "qkv" in only)
+    c_pack = phase in ("all", "no_attn", "no_bound", "only_pack")
     c_flash = phase in ("all", "no_bound")
     c_rope = phase in ("all", "no_attn")
-    b_entry = phase in ("all", "no_attn") or c_qkv and only is not None
-    b_wo = phase in ("all", "no_attn") or (
-        only is not None and bool(only & {"wo", "wob"}))
-    c_wo = phase in ("all", "no_attn", "no_bound") or (
-        only is not None and bool(only & {"wo", "woc"}))
-    b_mid = phase in ("all", "no_attn") or (
-        only is not None and "gu" in only)
-    c_gu = phase in ("all", "no_attn", "no_bound") or (
-        only is not None and "gu" in only)
-    b_down = phase in ("all", "no_attn") or (
-        only is not None and "down" in only)
-    c_down = phase in ("all", "no_attn", "no_bound") or (
-        only is not None and "down" in only)
+    b_entry = phase in ("all", "no_attn", "only_pack")
+    b_wo = phase in ("all", "no_attn")
+    b_mid = phase in ("all", "no_attn", "only_pack")
+    b_down = phase in ("all", "no_attn", "only_down")
+    c_down = phase in ("all", "no_attn", "no_bound", "only_down")
     i = pl.program_id(0)
     D = 128
     r = nH // nKV
     kh_pg = ht // r
-    A0 = nQ + 2
-    D0 = A0 + nA
+    WB = nQt + nWt                                # wo-residual / mlp step
     length = len_ref[0]                           # INCLUDING the new token
     lyr = lyr_ref[0]
     nvalid = jnp.minimum((length + bk - 1) // bk, n_blocks)
@@ -138,63 +171,75 @@ def _layer_kernel(
                 pltpu.make_async_copy(src_v, vbuf.at[slot],
                                       kv_sem.at[1, slot]))
 
-    def wo_copies():
-        return [pltpu.make_async_copy(wqs_any, woq, wo_sem.at[0]),
-                pltpu.make_async_copy(wes_any, woes, wo_sem.at[1]),
-                pltpu.make_async_copy(wem_any, woem, wo_sem.at[2])]
-
     @pl.when(i == 0)
     def _entry():
+        # h2 starts as the residual input; the W_o boundary ACCUMULATES
+        # into it — h_ref is never read after step 0.
+        h2[...] = h_ref[...].astype(jnp.float32)
         if b_entry:
-            h = h_ref[...].astype(jnp.float32)    # [1, dim] permuted
+            h = h2[...]                           # [1, dim] permuted
             var = jnp.sum(h * h, axis=1, keepdims=True) / h.shape[1]
             x = h * jax.lax.rsqrt(var + rms_eps) * anorm_ref[...]
             _act_quant_build(x, 1, eye_ref[...].astype(jnp.float32),
                              eas, ebs, sca)
-        for c in wo_copies():                     # stream W_o behind all
-            c.start()
         for c in kv_copies(0, 0):                 # first KV block
             c.start()
 
-    @pl.when(i < nQ)
-    def _qkv_phase():
-        if not c_qkv:
-            yqkv[0:1, pl.ds(i * bnQ, bnQ)] = jnp.sum(
-                qqs_ref[:, :128].astype(jnp.float32), axis=1)[None, :]
+    @pl.when(i == WB)
+    def _wo_residual_and_mlp_build():
+        # traced before _matvec, so at step WB the selector rebuild
+        # happens before the first gu tile consumes it
+        if not b_mid:
             return
-        es = qes_ref[...].astype(jnp.float32)
-        em = qem_ref[...].astype(jnp.float32)
-        y = _chunk8_compute(eas, ebs, sca[...], qqs_ref, es, em,
-                            n_segs=1, splits=splitsQ,
-                            store=_store_row(yqkv, i * bnQ))
-        if y is not None:
-            yqkv[0:1, pl.ds(i * bnQ, bnQ)] = y
+        h2[...] = h2[...] + ybig[0:1, NQ:NQ + NW]  # attn-out residual
+        hv = h2[...]
+        var = jnp.sum(hv * hv, axis=1, keepdims=True) / hv.shape[1]
+        x = hv * jax.lax.rsqrt(var + rms_eps) * mnorm_ref[...]
+        _act_quant_build(x, 1, eye_ref[...].astype(jnp.float32),
+                         eas, ebs, sca)
 
-    @pl.when(i == nQ - 1)
-    def _rope_boundary():
-        if not c_rope:
+    @pl.when(i < nP)
+    def _matvec():
+        # THE one uniform body: packed tile i -> ybig rows. Identical
+        # code for the wqkv / W_o / w_gu phases; only the selector
+        # scratch content (rebuilt at boundaries) distinguishes them.
+        if not c_pack:
+            ybig[0:1, pl.ds(i * bn, bn)] = jnp.sum(
+                pqs_ref[:, :128].astype(jnp.float32), axis=1)[None, :]
+            return
+        es = pes_ref[...].astype(jnp.float32)
+        em = pem_ref[...].astype(jnp.float32)
+        y = _chunk8_compute(eas, ebs, sca[...], pqs_ref, es, em,
+                            n_segs=1, splits=splits,
+                            store=_store_row(ybig, i * bn))
+        if y is not None:
+            ybig[0:1, pl.ds(i * bn, bn)] = y
+
+    @pl.when(i == nQt - 1)
+    def _rope_flash_wobuild():
+        # -- RoPE splice + cache-append staging ---------------------------
+        if c_rope:
+            Cq, S2q = rope_ref[0:1, :], rope_ref[1:2, :]
+            C, S2 = rope_ref[2:3, :], rope_ref[3:4, :]
+            for h in range(nH):
+                qt[h:h + 1, :] = ybig[0:1, D * h:D * (h + 1)]
+            qraw = qt[...]
+            qt[...] = qraw * Cq + pltpu.roll(qraw, 64, 1) * S2q
+            k0 = nH * D
+            for h in range(nKV):
+                ofin[h:h + 1, :] = ybig[0:1, k0 + D * h:k0 + D * (h + 1)]
+            kraw = ofin[0:nKV, :]                 # ofin reused as staging
+            kn_ref[...] = (kraw * C + pltpu.roll(kraw, 64, 1) * S2
+                           ).astype(cache_dtype)
+            v0 = (nH + nKV) * D
+            for h in range(nKV):
+                vn_ref[h:h + 1, :] = ybig[0:1, v0 + D * h:v0 + D * (h + 1)
+                                          ].astype(cache_dtype)
+        else:
             kn_ref[...] = jnp.zeros_like(kn_ref)
             vn_ref[...] = jnp.zeros_like(vn_ref)
-            return
-        Cq, S2q = rope_ref[0:1, :], rope_ref[1:2, :]
-        C, S2 = rope_ref[2:3, :], rope_ref[3:4, :]
-        for h in range(nH):
-            qt[h:h + 1, :] = yqkv[0:1, D * h:D * (h + 1)]
-        qraw = qt[...]
-        qt[...] = qraw * Cq + pltpu.roll(qraw, 64, 1) * S2q
-        k0 = nH * D
-        for h in range(nKV):
-            ofin[h:h + 1, :] = yqkv[0:1, k0 + D * h:k0 + D * (h + 1)]
-        kraw = ofin[0:nKV, :]                     # ofin reused as staging
-        kn_ref[...] = (kraw * C + pltpu.roll(kraw, 64, 1) * S2
-                       ).astype(cache_dtype)
-        v0 = (nH + nKV) * D
-        for h in range(nKV):
-            vn_ref[h:h + 1, :] = yqkv[0:1, v0 + D * h:v0 + D * (h + 1)
-                                      ].astype(cache_dtype)
 
-    @pl.when(i == nQ)
-    def _attn_phase():
+        # -- split-KV flash decode (W_o tile DMA streams underneath) ------
         total = n_groups * nvalid
         newpos = length - 1
 
@@ -291,8 +336,8 @@ def _layer_kernel(
             jax.lax.fori_loop(0, total, drain, 0)
         if not b_wo:
             return
-        # W_o boundary: transpose per-head output on the MXU and quantize
-        # into the shared selector scratch (wof column layout of W_o)
+        # -- W_o boundary: transpose per-head output on the MXU and
+        # quantize into the shared selector scratch (wof column layout) --
         eye = eye_ref[...].astype(jnp.float32)
         oT = jax.lax.dot_general(
             eye, ofin[...], (((1,), (1,)), ((), ())),
@@ -319,71 +364,25 @@ def _layer_kernel(
             eas[sl, :] = (eye * aq[t:t + 1, :]).astype(jnp.int8)
             ebs[sl, :] = (eye * bq[t:t + 1, :]).astype(jnp.int8)
 
-    @pl.when(i == nQ + 1)
-    def _wo_and_mlp_entry():
-        for c in wo_copies():
-            c.wait()
-        if not c_wo:
-            # touch the streamed W_o bytes with a [1, dim]-shaped read
-            # (woq is [NW, KW//2]; two rows reshape to one dim-wide row)
-            h2[...] = h_ref[...].astype(jnp.float32) + woq[
-                0:2, :].astype(jnp.float32).reshape(1, -1)
-        else:
-            es = woes[...].astype(jnp.float32)
-            em = woem[...].astype(jnp.float32)
-
-            def store(r0, rows, y):               # attn out + residual
-                h2[0:1, pl.ds(r0, rows)] = (
-                    y[None, :]
-                    + h_ref[0:1, pl.ds(r0, rows)].astype(jnp.float32))
-
-            res = _chunk8_compute(eas, ebs, sca[...], woq, es, em,
-                                  n_segs=1, splits=splitsW, store=store)
-            if res is not None:
-                h2[...] = res + h_ref[...].astype(jnp.float32)
-
-        if not b_mid:
-            return
-        hv = h2[...]
-        var = jnp.sum(hv * hv, axis=1, keepdims=True) / hv.shape[1]
-        x = hv * jax.lax.rsqrt(var + rms_eps) * mnorm_ref[...]
-        _act_quant_build(x, 1, eye_ref[...].astype(jnp.float32),
-                         eas, ebs, sca)
-
-    @pl.when(jnp.logical_and(i >= A0, i < D0))
-    def _gu_phase():
-        t = i - A0
-        if not c_gu:
-            ygu[0:1, pl.ds(t * bnA, bnA)] = jnp.sum(
-                gqs_ref[:, :128].astype(jnp.float32), axis=1)[None, :]
-            return
-        es = ges_ref[...].astype(jnp.float32)
-        em = gem_ref[...].astype(jnp.float32)
-        y = _chunk8_compute(eas, ebs, sca[...], gqs_ref, es, em,
-                            n_segs=1, splits=splitsA,
-                            store=_store_row(ygu, t * bnA))
-        if y is not None:
-            ygu[0:1, pl.ds(t * bnA, bnA)] = y
-
-    @pl.when(i == D0 - 1)
+    @pl.when(i == nP - 1)
     def _mid_boundary():
         if not b_down:
             return
-        g = ygu[0:1, :Kd]
-        u = ygu[0:1, Kd:]
+        g0 = NQ + NW
+        g = ybig[0:1, g0:g0 + Kd]
+        u = ybig[0:1, g0 + Kd:]
         mid = (g * jax.nn.sigmoid(g)) * u
         _act_quant_build(mid, segsD, eye_ref[...].astype(jnp.float32),
                          ead, ebd, scd)
 
-    @pl.when(i >= D0)
+    @pl.when(i >= nP)
     def _down_phase():
-        t = i - D0
+        t = i - nP
         if not c_down:
             o_ref[...] = (
                 jnp.sum(dqs_ref[:, :128].astype(jnp.float32),
                         axis=1)[None, :bnD]
-                + 1e-6 * yqkv[0:1, pl.ds(t * bnD, bnD)]
-                + 1e-6 * ygu[0:1, pl.ds(t * bnD, bnD)]
+                + 1e-6 * ybig[0:1, pl.ds(t * bnD, bnD)]
                 + 1e-6 * h2[0:1, pl.ds(t * bnD, bnD)])
             return
         es = des_ref[...].astype(jnp.float32)
@@ -402,15 +401,16 @@ def _layer_kernel(
 def layer_step_supported(layer: dict, n_heads: int, n_kv_heads: int,
                          head_dim: int, cache_dtype) -> bool:
     """Static gate: the fused q4_k-e layout with wof W_o + w_gu_f, dim
-    4096, MHA/GQA r in {1,2,4,8}, bf16/f32 contiguous cache."""
-    need = ("wqkv", "wo", "w_gu_f", "w_down")
+    4096, MHA/GQA r in {1,2,4,8}, bf16/f32 contiguous cache, and the
+    packed stream present (built by permute_hidden_params)."""
+    need = ("wqkv", "wo", "w_gu_f", "w_down", "w_pack")
     if any(k not in layer for k in need):
         return False
     ws = [layer[k] for k in need]
     if not all(isinstance(w, QuantLinear) and w.fmt == "q4_k"
                and w.enc == "e" for w in ws):
         return False
-    wqkv, wo, guf, down = ws
+    wqkv, wo, guf, down, pack = ws
     dim = n_heads * head_dim
     nw, kw = wo.array_shape
     if wo.layout != "wof" or not wof_shape_supported(
@@ -425,6 +425,8 @@ def layer_step_supported(layer: dict, n_heads: int, n_kv_heads: int,
         return False
     if (kg // 32) % 128 != 0:
         return False
+    if pack.array_shape != (nq + nw + ng, dim):
+        return False
     return cache_dtype in (jnp.bfloat16, jnp.float32)
 
 
@@ -436,9 +438,7 @@ def layer_step_supported(layer: dict, n_heads: int, n_kv_heads: int,
 )
 def layer_step(
     h: jax.Array,                 # [1, dim] PERMUTED hidden (pre-norm)
-    wqkv: QuantLinear,
-    wo: QuantLinear,              # layout="wof", rows hperm-permuted
-    w_guf: QuantLinear,           # reorder_gu_rows layout
+    w_pack: QuantLinear,          # pack_stream(wqkv, wo_wof, w_gu_f)
     w_down: QuantLinear,          # rows hperm-permuted
     attn_norm: jax.Array,         # [dim] permuted
     mlp_norm: jax.Array,          # [dim] permuted
@@ -472,30 +472,23 @@ def layer_step(
     kh_pg = ht // r
     n_groups = nH // ht
 
-    # ``tile_cap``: probe-only override of the wqkv/w_gu weight-tile rows
-    # (smaller windows halve the double-buffer VMEM — the lever that tests
-    # whether VMEM pressure is what serializes compute against the stream)
-    NQ, KQ = wqkv.array_shape
-    planQ = chunk8_plan(NQ, KQ, block_n=tile_cap)
-    bnQ, splitsQ = planQ["bn"], planQ["splits"]
-    assert NQ % bnQ == 0
-    nQ = NQ // bnQ
-    NW, KW = wo.array_shape
-    splitsW = chunk8_plan(NW, KW, block_n=NW)["splits"]
-    NG, KG = w_guf.array_shape
-    planA = chunk8_plan(NG, KG, block_n=tile_cap)
-    bnA, splitsA = planA["bn"], planA["splits"]
-    assert NG % bnA == 0
-    nA = NG // bnA
+    NP, K = w_pack.array_shape
+    assert K == dim
+    NQ = (nH + 2 * nKV) * D
+    NW = dim
+    NG = NP - NQ - NW
     ND, Kd = w_down.array_shape
+    assert NG == 2 * Kd and ND == dim
+    bn = _pack_bn(NQ, NW, NG, tile_cap or 4096)
+    nQt, nWt = NQ // bn, NW // bn
+    nP = NP // bn
+    splits = _row_splits(bn)
     segsD = _n_segs(Kd)
     planD = chunk8_plan(ND, Kd)
     bnD, splitsD = planD["bn"], planD["splits"]
     assert ND % bnD == 0
     nD = ND // bnD
-    A0 = nQ + 2
-    D0 = A0 + nA
-    grid = (D0 + nD,)
+    grid = (nP + nD,)
 
     # rope rows (rotate-half): out = x*C + roll(x, 64)*S2
     pos = lengths[0].astype(jnp.float32)
@@ -513,15 +506,13 @@ def layer_step(
     cache_dtype = k_cache.dtype
 
     cmap = lambda i, lens, lyr_: (0, 0)
-    qmap = lambda i, lens, lyr_: (jnp.minimum(i, nQ - 1), 0)
-    gmap = lambda i, lens, lyr_: (
-        jnp.clip(i - A0, 0, nA - 1), 0)
+    pmap = lambda i, lens, lyr_: (jnp.minimum(i, nP - 1), 0)
     dmap = lambda i, lens, lyr_: (
-        jnp.clip(i - D0, 0, nD - 1), 0)
+        jnp.clip(i - nP, 0, nD - 1), 0)
     omap = lambda i, lens, lyr_: (
-        0, jnp.clip(i - D0, 0, nD - 1))
+        0, jnp.clip(i - nP, 0, nD - 1))
 
-    kb = KQ // 32
+    kb = K // 32
     kbd = Kd // 32
     in_specs = [
         pl.BlockSpec((1, dim), cmap),                # h
@@ -529,17 +520,11 @@ def layer_step(
         pl.BlockSpec((1, dim), cmap),                # mlp_norm
         pl.BlockSpec((4, 128), cmap),                # rope
         pl.BlockSpec((128, 128), cmap),              # eye
-        pl.BlockSpec((bnQ, KQ // 2), qmap),          # wqkv qs
-        pl.BlockSpec((bnQ, kb), qmap),               # wqkv es
-        pl.BlockSpec((bnQ, kb), qmap),               # wqkv em
+        pl.BlockSpec((bn, K // 2), pmap),            # packed qs
+        pl.BlockSpec((bn, kb), pmap),                # packed es
+        pl.BlockSpec((bn, kb), pmap),                # packed em
         pl.BlockSpec(memory_space=pl.ANY),           # k cache
         pl.BlockSpec(memory_space=pl.ANY),           # v cache
-        pl.BlockSpec(memory_space=pl.ANY),           # wo qs
-        pl.BlockSpec(memory_space=pl.ANY),           # wo es
-        pl.BlockSpec(memory_space=pl.ANY),           # wo em
-        pl.BlockSpec((bnA, KG // 2), gmap),          # gu qs
-        pl.BlockSpec((bnA, KG // 32), gmap),         # gu es
-        pl.BlockSpec((bnA, KG // 32), gmap),         # gu em
         pl.BlockSpec((bnD, Kd // 2), dmap),          # down qs
         pl.BlockSpec((bnD, kbd), dmap),              # down es
         pl.BlockSpec((bnD, kbd), dmap),              # down em
@@ -549,43 +534,37 @@ def layer_step(
         attn_norm.reshape(1, dim).astype(jnp.float32),
         mlp_norm.reshape(1, dim).astype(jnp.float32),
         rope, eye,
-        wqkv.qs, wqkv.es, wqkv.em,
+        w_pack.qs, w_pack.es, w_pack.em,
         k_cache, v_cache,
-        wo.qs, wo.es, wo.em,
-        w_guf.qs, w_guf.es, w_guf.em,
         w_down.qs, w_down.es, w_down.em,
     ]
 
     scratch = [
-        pltpu.VMEM((1, NQ), jnp.float32),            # yqkv
+        pltpu.VMEM((1, NP), jnp.float32),            # ybig
         pltpu.VMEM((nH, 128), jnp.float32),          # qt
-        pltpu.VMEM((KQ // 2, 128), jnp.int8),        # eas (shared)
-        pltpu.VMEM((KQ // 2, 128), jnp.int8),        # ebs (shared)
+        pltpu.VMEM((K // 2, 128), jnp.int8),         # eas (shared)
+        pltpu.VMEM((K // 2, 128), jnp.int8),         # ebs (shared)
         pltpu.VMEM((4, kb), jnp.float32),            # sca (shared)
         pltpu.VMEM((nH, 128), jnp.float32),          # m
         pltpu.VMEM((nH, 128), jnp.float32),          # l
         pltpu.VMEM((ht, 128), jnp.float32),          # acc
         pltpu.VMEM((nH, 128), jnp.float32),          # ofin
         pltpu.VMEM((1, dim), jnp.float32),           # h2
-        pltpu.VMEM((1, NG), jnp.float32),            # ygu
         pltpu.VMEM((Kd // 2, 128), jnp.int8),        # ead
         pltpu.VMEM((Kd // 2, 128), jnp.int8),        # ebd
         pltpu.VMEM((4, kbd), jnp.float32),           # scd
         pltpu.VMEM((2, kh_pg, bk, D), cache_dtype),  # kbuf
         pltpu.VMEM((2, kh_pg, bk, D), cache_dtype),  # vbuf
-        pltpu.VMEM((NW, KW // 2), jnp.int8),         # wo qs resident
-        pltpu.VMEM((NW, KW // 32), wo.es.dtype),     # wo es
-        pltpu.VMEM((NW, KW // 32), wo.em.dtype),     # wo em
         pltpu.SemaphoreType.DMA((2, 2)),             # kv sems
-        pltpu.SemaphoreType.DMA((3,)),               # wo sems
     ]
 
     kernel = functools.partial(
         _layer_kernel,
-        nQ=nQ, bnQ=bnQ, nA=nA, bnA=bnA, nD=nD, bnD=bnD,
+        nP=nP, bn=bn, nQt=nQt, nWt=nWt, nD=nD, bnD=bnD,
+        NQ=NQ, NW=NW,
         n_blocks=n_blocks, n_groups=n_groups, ht=ht, bk=bk,
         nH=nH, nKV=nKV, Kd=Kd, segsD=segsD,
-        splitsQ=splitsQ, splitsW=splitsW, splitsA=splitsA, splitsD=splitsD,
+        splits=splits, splitsD=splitsD,
         cache_dtype=cache_dtype, rms_eps=rms_eps, phase=phase)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -600,7 +579,7 @@ def layer_step(
         scratch_shapes=scratch,
     )
 
-    wbytes = wqkv.nbytes + wo.nbytes + w_guf.nbytes + w_down.nbytes
+    wbytes = w_pack.nbytes + w_down.nbytes
     h_next, k_new, v_new = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -613,8 +592,7 @@ def layer_step(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 2**20),
         cost_estimate=pl.CostEstimate(
-            flops=2 * (NQ * KQ + NW * KW + NG * KG + ND * Kd)
-            + 4 * nH * S * D,
+            flops=2 * (NP * K + ND * Kd) + 4 * nH * S * D,
             bytes_accessed=wbytes
             + 2 * nKV * S * D * k_cache.dtype.itemsize,
             transcendentals=nH * S + Kd),

@@ -18,7 +18,7 @@ import pytest
 from ggml_cuda_experiments_tpu.ops import quant_matmul as qm
 from ggml_cuda_experiments_tpu.ops.fused_attention import attention_fused
 from ggml_cuda_experiments_tpu.ops.layer_kernel import (
-    layer_step, layer_step_supported,
+    layer_step, layer_step_supported, pack_stream,
 )
 
 DIM, HQ, HKV, D = 4096, 32, 32, 128
@@ -47,14 +47,15 @@ def weights():
             w, **{f: getattr(w, f)[perm] for f in qm._fields(w)})
 
     wo_p, down_p = prow(wo), prow(down)
+    w_pack = pack_stream(wqkv, wo_p, guf)
     anorm = (1.0 + 0.1 * rng.normal(size=(DIM,))).astype(np.float32)
     mnorm = (1.0 + 0.1 * rng.normal(size=(DIM,))).astype(np.float32)
     kc = jnp.asarray(rng.normal(size=(2, 1, HKV, 256, D)), jnp.bfloat16)
     vc = jnp.asarray(rng.normal(size=(2, 1, HKV, 256, D)), jnp.bfloat16)
     h_log = jnp.asarray(rng.normal(size=(1, DIM)).astype(np.float32))
     return dict(wqkv=wqkv, wo=wo, wo_p=wo_p, guf=guf, down=down,
-                down_p=down_p, anorm=anorm, mnorm=mnorm, kc=kc, vc=vc,
-                h_log=h_log, perm=perm)
+                down_p=down_p, w_pack=w_pack, anorm=anorm, mnorm=mnorm,
+                kc=kc, vc=vc, h_log=h_log, perm=perm)
 
 
 def test_e2e_decode_matches_megakernels():
@@ -85,10 +86,14 @@ def test_e2e_decode_matches_megakernels():
 
 def test_supported_gate(weights):
     layer = {"wqkv": weights["wqkv"], "wo": weights["wo_p"],
-             "w_gu_f": weights["guf"], "w_down": weights["down_p"]}
+             "w_gu_f": weights["guf"], "w_down": weights["down_p"],
+             "w_pack": weights["w_pack"]}
     assert layer_step_supported(layer, HQ, HKV, D, jnp.bfloat16)
     assert not layer_step_supported(dict(layer, wo=weights["wqkv"]),
                                     HQ, HKV, D, jnp.bfloat16)
+    miss = dict(layer)
+    del miss["w_pack"]
+    assert not layer_step_supported(miss, HQ, HKV, D, jnp.bfloat16)
 
 
 def test_layer_kernel_matches_composed(weights):
@@ -100,7 +105,7 @@ def test_layer_kernel_matches_composed(weights):
     lens = jnp.asarray([23], jnp.int32)
 
     h_next, kn, vn = layer_step(
-        h_p, w["wqkv"], w["wo_p"], w["guf"], w["down_p"],
+        h_p, w["w_pack"], w["down_p"],
         anorm_p, mnorm_p, w["kc"], w["vc"], lens, 1,
         n_heads=HQ, n_kv_heads=HKV, head_dim=D, rms_eps=EPS)
 
@@ -133,7 +138,8 @@ def test_layer_kernel_matches_composed(weights):
     assert np.isfinite(a).all()
 
 
-@pytest.mark.parametrize("phase", ["no_bound", "no_attn", "stream"])
+@pytest.mark.parametrize("phase", ["no_bound", "no_attn", "stream",
+                                   "only_pack", "only_down"])
 def test_probe_phases_trace(weights, phase):
     """Every layer_probe bisection phase must at least TRACE (the round-4
     'stream' variant hit a scratch-slice shape error at trace time;
@@ -142,7 +148,7 @@ def test_probe_phases_trace(weights, phase):
     lens = jnp.asarray([23], jnp.int32)
     out = jax.eval_shape(
         lambda h: layer_step(
-            h, w["wqkv"], w["wo_p"], w["guf"], w["down_p"],
+            h, w["w_pack"], w["down_p"],
             jnp.asarray(w["anorm"]), jnp.asarray(w["mnorm"]),
             w["kc"], w["vc"], lens, 1,
             n_heads=HQ, n_kv_heads=HKV, head_dim=D, phase=phase),

@@ -10,10 +10,10 @@ kwarg isolating phases:
   no_bound  skip rope / W_o-boundary / mid-boundary selector builds
   no_attn   skip the flash fori-loop body as well
   stream    skip ALL compute (windows + explicit DMA only)
-  only_qkv / only_wo / only_gu / only_down
-            ONE matvec phase's compute (+ its operand build), everything
-            else streamed — (only_X - stream) isolates that phase's
-            non-overlapped compute
+  only_pack / only_down
+            the packed matvec stream (resp. the w_down phase) computes,
+            everything else streamed — (only_X - stream) isolates that
+            side's non-overlapped compute
   mega2     REFERENCE: attention_fused + mlp_fused chained in the same
             process (the path the layer kernel must beat)
 
@@ -73,7 +73,9 @@ def main():
         (rng.normal(size=(KD, DIM)) / 64).astype(np.float32)), "q4_k")
     down = prow(qm.quantize(
         (rng.normal(size=(DIM, KD)) / 64).astype(np.float32), "q4_k"))
-    wqkv, wo, guf, down = jax.device_put((wqkv, wo, guf, down))
+    w_pack = lk.pack_stream(wqkv, wo, guf)
+    wqkv, wo, guf, down, w_pack = jax.device_put(
+        (wqkv, wo, guf, down, w_pack))
     anorm = jnp.ones((DIM,), jnp.float32)
     mnorm = jnp.ones((DIM,), jnp.float32)
     kc = jnp.asarray(rng.normal(size=(1, 1, HKV, S, D)), jnp.bfloat16)
@@ -86,7 +88,7 @@ def main():
         def f(h):
             def body(_, h):
                 hn, kn, vn = lk.layer_step(
-                    h, wqkv, wo, guf, down, anorm, mnorm, kc, vc, lens, 0,
+                    h, w_pack, down, anorm, mnorm, kc, vc, lens, 0,
                     n_heads=HQ, n_kv_heads=HKV, head_dim=D, phase=phase,
                     tile_cap=args.tile_cap)
                 hn = jnp.where(jnp.isfinite(hn), hn, 0.0)
