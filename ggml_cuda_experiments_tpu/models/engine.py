@@ -688,8 +688,16 @@ class Engine:
         self._admit()
         finished: dict[int, list[int]] = {}
         if self.prefilling:
-            # one prompt chunk per scheduler pass, interleaved with decode
-            self._prefill_step()
+            # Dispatch EVERY prefilling request's next chunk before the
+            # decode window is dispatched/fetched (VERDICT r4 item 8):
+            # dispatches are async and cheap (~0.02-0.4 ms,
+            # tools/rig_probe.py), while a chunk deferred to the next
+            # scheduler pass waits out a whole decode window + any
+            # finished-request fetch (RTT-class). Chunks of ONE request
+            # stay serial on device (same pool), but chunks of DIFFERENT
+            # requests pipeline behind the window.
+            for req in list(self.prefilling):
+                self._prefill_step(req)
         if not self.running:
             return finished
 
@@ -877,9 +885,11 @@ class Engine:
             jnp.asarray(row), self.pool)
         self._finish_prefill(req, logits)
 
-    def _prefill_step(self) -> None:
-        """Process the next chunk of the oldest prefilling request."""
-        req = self.prefilling[0]
+    def _prefill_step(self, req: Request | None = None) -> None:
+        """Process the next chunk of one prefilling request (oldest by
+        default)."""
+        if req is None:
+            req = self.prefilling[0]
         C = self.prefill_chunk
         pos0 = req.prefill_pos
         last = pos0 + C >= len(req.prompt)
@@ -894,7 +904,7 @@ class Engine:
             with_logits=last)
         req.prefill_pos = pos0 + C
         if last:
-            self.prefilling.pop(0)
+            self.prefilling.remove(req)
             self.running.append(req)
             self._finish_prefill(req, logits)
 
