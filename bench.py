@@ -169,6 +169,20 @@ def decode_bench(model: str = "tinyllama-1.1b", fmt: str = "q4_k",
     jax.block_until_ready(params)
     log(f"  device transfer issued in {_t.perf_counter()-t0:.0f}s")
 
+    # Deploy layout for B=1 decode: permuted-hidden + whole-layer kernel
+    # (round-5 ladder: 124.1 vs 108.9 tok/s on 7B; exact transform, token
+    # streams identical — tests/test_hperm.py, test_layer_kernel.py).
+    if "--no-hperm" not in sys.argv:
+        try:
+            t0 = _t.perf_counter()
+            params = llama.permute_hidden_params(params, cfg)
+            jax.block_until_ready(jax.tree.leaves(params))
+            cfg = _dc.replace(cfg, hperm=True)
+            log(f"  hperm layout + packed layer stream in "
+                f"{_t.perf_counter()-t0:.0f}s (--no-hperm to disable)")
+        except Exception as e:
+            log(f"  hperm transform unavailable: {str(e)[:120]}")
+
     prompt = jnp.ones((1, 16), jnp.int32)
 
     def run(steps, batch=1, plen=16):

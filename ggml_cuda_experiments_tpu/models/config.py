@@ -53,11 +53,15 @@ class ModelConfig:
     # prefill and decode stay numerically equivalent (reduction-order
     # eps only).
     hperm: bool = False
-    # Whole-layer megakernel (ops/layer_kernel.py): one Pallas call per
-    # decoder layer at decode B==1. Requires hperm=True (permuted-hidden
-    # params) and the fused q4_k layout; falls through per-layer when
-    # layer_step_supported rejects the shapes.
-    fuse_layer: bool = False
+    # Whole-layer megakernel (ops/layer_kernel.py, packed uniform weight
+    # stream): one Pallas call per decoder layer at decode B==1. Requires
+    # hperm=True (permuted-hidden params, which also builds the packed
+    # stream) and the fused q4_k layout; falls through per-layer when
+    # layer_step_supported rejects the shapes, so the default is safe.
+    # Round-5 ladder (same process, 7B): 124.1 tok/s vs 108.9 for the
+    # best two-megakernel config (+14%); same-process layer marginal
+    # 221.8 vs 296.9 us/layer (PERF.md "Whole-layer megakernel").
+    fuse_layer: bool = True
     # B==1 decode attention: at or below this PADDED cache length the
     # whole layer streams through one XLA fusion instead of the
     # flash_decode custom call (llama._xla_decode_attention). Default 0

@@ -756,9 +756,11 @@ def permute_hidden_params(params: Params, cfg: ModelConfig) -> Params:
         l2["mlp_norm"] = pvec(layer["mlp_norm"])
         l2["wo"] = prow(layer["wo"])
         l2["w_down"] = prow(layer["w_down"])
-        if all(isinstance(l2.get(k), QuantLinear)
-               and l2[k].fmt == "q4_k" and l2[k].enc == "e"
-               for k in ("wqkv", "wo", "w_gu_f")):
+        if (all(isinstance(l2.get(k), QuantLinear)
+                and l2[k].fmt == "q4_k" and l2[k].enc == "e"
+                for k in ("wqkv", "wo", "w_gu_f"))
+                and isinstance(l2.get("w_down"), QuantLinear)
+                and l2["w_down"].array_shape[1] % 4096 == 0):
             # one row-stacked weight stream for the whole-layer kernel
             # (cfg.fuse_layer): uniform tiles, one compute body — see
             # ops/layer_kernel.pack_stream. Costs a device-side copy of
