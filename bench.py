@@ -201,8 +201,20 @@ def decode_bench(model: str = "tinyllama-1.1b", fmt: str = "q4_k",
     # tracks the encoding the model actually ships in.
     def _leaf_bytes(leaf):
         return getattr(leaf, "nbytes", 0)
-    stream_bytes = (sum(_leaf_bytes(l) for l in jax.tree.leaves(
-        [params["layers"], params["lm_head"], params["final_norm"]])))
+
+    def _layer_stream(layer):
+        # per-step streamed weights only: with the packed stream present
+        # the layer kernel streams w_pack + w_down; the separate
+        # wqkv/wo/w_gu_f it was packed from stay resident for prefill
+        # and must NOT double the denominator
+        if "w_pack" in layer:
+            drop = {"wqkv", "wo", "w_gu_f", "w_gate", "w_up"}
+            layer = {k: v for k, v in layer.items() if k not in drop}
+        return sum(_leaf_bytes(l) for l in jax.tree.leaves(layer))
+
+    stream_bytes = (sum(_layer_stream(l) for l in params["layers"])
+                    + sum(_leaf_bytes(l) for l in jax.tree.leaves(
+                        [params["lm_head"], params["final_norm"]])))
     log(f"  weight stream: {stream_bytes/1e9:.2f} GB/token "
         f"({stream_bytes * 8 / cfg.num_params():.2f} bits/weight incl. "
         f"dense head/norms)")

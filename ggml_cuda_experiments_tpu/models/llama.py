@@ -449,6 +449,7 @@ def _forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
         decode and cfg.fuse_layer and cfg.hperm and cfg.x_quant8
         and reduce_axis is None and expert_axis is None
         and B == 1 and T == 1 and not cache.quantized)
+    deferred = []      # (li, k_new, v_new) — batched cache append below
     for li, layer in enumerate(params["layers"]):
         if use_layer_kernel:
             from ggml_cuda_experiments_tpu.ops.layer_kernel import (
@@ -462,13 +463,12 @@ def _forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
                     n_heads=cfg.n_heads, n_kv_heads=cfg.n_kv_heads,
                     head_dim=cfg.head_dim, rope_theta=cfg.rope_theta,
                     rms_eps=cfg.rms_eps)
-                pos0 = positions[:, 0]
-                cache = dataclasses.replace(
-                    cache,
-                    k=_write_cache_layer(cache.k, li,
-                                         kn[None, :, None, :], pos0),
-                    v=_write_cache_layer(cache.v, li,
-                                         vn[None, :, None, :], pos0))
+                # The kernel splices (kn, vn) into its own attention read
+                # (the on_new blend), so the HBM cache append can wait —
+                # deferred and written as ONE dynamic-update-slice per
+                # array after the layer loop instead of one per layer
+                # (64 tiny DUS/step were measurable scan glue).
+                deferred.append((li, kn, vn))
                 h = h2[:, None, :].astype(h.dtype)
                 continue
         attn, cache = _attention_block(
@@ -477,6 +477,26 @@ def _forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
         h = h + attn
         h = h + _mlp_block(layer, cfg, h, reduce_axis=reduce_axis,
                            expert_axis=expert_axis)
+    if deferred:
+        pos0 = positions[:, 0]
+        if len(deferred) == len(params["layers"]):
+            ks = jnp.stack([kn for _, kn, _ in deferred]
+                           )[:, None, :, None, :].astype(cache.k.dtype)
+            vs = jnp.stack([vn for _, _, vn in deferred]
+                           )[:, None, :, None, :].astype(cache.v.dtype)
+            idx = (0, 0, 0, pos0[0], 0)
+            cache = dataclasses.replace(
+                cache,
+                k=jax.lax.dynamic_update_slice(cache.k, ks, idx),
+                v=jax.lax.dynamic_update_slice(cache.v, vs, idx))
+        else:                      # mixed support: per-layer fallback
+            k_arr, v_arr = cache.k, cache.v
+            for li, kn, vn in deferred:
+                k_arr = _write_cache_layer(k_arr, li,
+                                           kn[None, :, None, :], pos0)
+                v_arr = _write_cache_layer(v_arr, li,
+                                           vn[None, :, None, :], pos0)
+            cache = dataclasses.replace(cache, k=k_arr, v=v_arr)
     h = rms_norm(h, params["final_norm"], cfg.rms_eps)
     hl = h if all_logits else h[:, -1]
     head_pre = False

@@ -26,12 +26,12 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def measure(params, cfg, steps_a=8, steps_b=40, reps=3):
+def measure(params, cfg, steps_a=8, steps_b=40, reps=3, batch=1):
     from ggml_cuda_experiments_tpu.models import llama
 
     def run(steps, plen=16):
-        cache = llama.KVCache.create(cfg, 1, 1024)
-        p = jnp.ones((1, plen), jnp.int32)
+        cache = llama.KVCache.create(cfg, batch, 1024)
+        p = jnp.ones((batch, plen), jnp.int32)
         t0 = time.perf_counter()
         toks = llama.generate_scan(params, cfg, p, cache, steps)
         np.asarray(toks)
@@ -93,17 +93,26 @@ def main():
         ]
     if "--layer-only" in sys.argv:
         rungs = [r for r in rungs if "hperm" in r[0] or "both" in r[0]]
+    if "--hperm-only" in sys.argv:
+        # drop the base rungs AND the base params (batch-8 caches plus
+        # two param copies exceed HBM; the hperm copy alone fits)
+        rungs = [r for r in rungs if r[1].get("hperm")]
+        params = None
+    batch = 1
+    for a in sys.argv:
+        if a.startswith("--batch="):
+            batch = int(a.split("=", 1)[1])
     results = []
     for name, kw in rungs:
         cfg = dataclasses.replace(base, **kw)
         p = hperm_params if kw.get("hperm") else params
         t0 = time.perf_counter()
-        tok_s = measure(p, cfg)
+        tok_s = measure(p, cfg, batch=batch) * batch
         results.append((name, tok_s))
         log(f"{name}: {tok_s:.1f} tok/s  "
-            f"({1e3/tok_s:.2f} ms/token; rung took "
+            f"({batch * 1e3/tok_s:.2f} ms/step; batch {batch}; rung took "
             f"{time.perf_counter()-t0:.0f}s)")
-    print("\n=== decode ladder", model, "===")
+    print("\n=== decode ladder", model, f"(batch {batch}) ===")
     for name, tok_s in results:
         print(f"{tok_s:8.1f} tok/s  {name}")
 
