@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--int8-kv", action="store_true")
     ap.add_argument("--native-sched", action="store_true")
     ap.add_argument("--window", type=int, default=1)
+    ap.add_argument("--prefill-chunk", type=int, default=None,
+                    help="chunked prefill size (exercises the r5 "
+                         "all-requests-per-pass chunk dispatch)")
     ap.add_argument("--trace", action="store_true",
                     help="wrap the measured run in jax.profiler.trace "
                          "(xprof artifact under /root/repo/xprof_trace)")
@@ -76,7 +79,8 @@ def main():
             max_seq_len=-(-max_seq // args.page_size) * args.page_size,
             quantized_kv=args.int8_kv,
             scheduler="native" if args.native_sched else "python",
-            decode_window=args.window)
+            decode_window=args.window,
+            prefill_chunk=args.prefill_chunk)
         for _ in range(n_req):
             eng.add_request(
                 rng.integers(0, cfg.vocab_size, size=args.prompt).tolist(),
