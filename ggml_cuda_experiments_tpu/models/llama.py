@@ -478,25 +478,21 @@ def _forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
         h = h + _mlp_block(layer, cfg, h, reduce_axis=reduce_axis,
                            expert_axis=expert_axis)
     if deferred:
+        # NOTE: a single batched [L, ...] DUS from a jnp.stack of the 32
+        # per-layer (kn, vn) was tried here and MISCOMPILES on the real
+        # TPU at 7B scale — XLA's layer-loop fusion put the stacked carry
+        # in VMEM and blew the 16M scoped-vmem stack inside the fusion
+        # feeding the next pallas call ("should not be possible to run
+        # out of scoped vmem — please file a bug against XLA"). The
+        # per-layer DUS after the loop keeps the proven aliasing path.
         pos0 = positions[:, 0]
-        if len(deferred) == len(params["layers"]):
-            ks = jnp.stack([kn for _, kn, _ in deferred]
-                           )[:, None, :, None, :].astype(cache.k.dtype)
-            vs = jnp.stack([vn for _, _, vn in deferred]
-                           )[:, None, :, None, :].astype(cache.v.dtype)
-            idx = (0, 0, 0, pos0[0], 0)
-            cache = dataclasses.replace(
-                cache,
-                k=jax.lax.dynamic_update_slice(cache.k, ks, idx),
-                v=jax.lax.dynamic_update_slice(cache.v, vs, idx))
-        else:                      # mixed support: per-layer fallback
-            k_arr, v_arr = cache.k, cache.v
-            for li, kn, vn in deferred:
-                k_arr = _write_cache_layer(k_arr, li,
-                                           kn[None, :, None, :], pos0)
-                v_arr = _write_cache_layer(v_arr, li,
-                                           vn[None, :, None, :], pos0)
-            cache = dataclasses.replace(cache, k=k_arr, v=v_arr)
+        k_arr, v_arr = cache.k, cache.v
+        for li, kn, vn in deferred:
+            k_arr = _write_cache_layer(k_arr, li,
+                                       kn[None, :, None, :], pos0)
+            v_arr = _write_cache_layer(v_arr, li,
+                                       vn[None, :, None, :], pos0)
+        cache = dataclasses.replace(cache, k=k_arr, v=v_arr)
     h = rms_norm(h, params["final_norm"], cfg.rms_eps)
     hl = h if all_logits else h[:, -1]
     head_pre = False
