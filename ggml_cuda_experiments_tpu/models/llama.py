@@ -449,6 +449,32 @@ def _forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
         decode and cfg.fuse_layer and cfg.hperm and cfg.x_quant8
         and reduce_axis is None and expert_axis is None
         and B == 1 and T == 1 and not cache.quantized)
+    if use_layer_kernel and "m_pack" in params and all(
+            _layer_kernel_ok(layer, cfg, cache)
+            for layer in params["layers"]):
+        # whole-MODEL kernel: every decoder layer in ONE Pallas launch
+        # (kills 31 launch taxes + the inter-layer XLA glue), then ONE
+        # cache append per array
+        from ggml_cuda_experiments_tpu.ops.layer_kernel import model_step
+        hm, kn_all, vn_all = model_step(
+            h[:, 0, :], params["m_pack"], cache.k, cache.v,
+            cache.lengths,
+            n_heads=cfg.n_heads, n_kv_heads=cfg.n_kv_heads,
+            head_dim=cfg.head_dim, rope_theta=cfg.rope_theta,
+            rms_eps=cfg.rms_eps)
+        pos0 = cache.lengths[0]
+        idx = (0, 0, 0, pos0, 0)
+        cache = dataclasses.replace(
+            cache,
+            k=jax.lax.dynamic_update_slice(
+                cache.k, kn_all[:, None, :, None, :].astype(cache.k.dtype),
+                idx),
+            v=jax.lax.dynamic_update_slice(
+                cache.v, vn_all[:, None, :, None, :].astype(cache.v.dtype),
+                idx))
+        h = hm[:, None, :].astype(h.dtype)
+        h = rms_norm(h, params["final_norm"], cfg.rms_eps)
+        return _head_logits(params, cfg, h, cache, tokens, all_logits)
     deferred = []      # (li, k_new, v_new) — batched cache append below
     for li, layer in enumerate(params["layers"]):
         if use_layer_kernel:
@@ -494,6 +520,20 @@ def _forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
                                        vn[None, :, None, :], pos0)
         cache = dataclasses.replace(cache, k=k_arr, v=v_arr)
     h = rms_norm(h, params["final_norm"], cfg.rms_eps)
+    return _head_logits(params, cfg, h, cache, tokens, all_logits)
+
+
+def _layer_kernel_ok(layer, cfg: ModelConfig, cache: KVCache) -> bool:
+    from ggml_cuda_experiments_tpu.ops.layer_kernel import (
+        layer_step_supported)
+    return layer_step_supported(layer, cfg.n_heads, cfg.n_kv_heads,
+                                cfg.head_dim, cache.k.dtype)
+
+
+def _head_logits(params: Params, cfg: ModelConfig, h: jax.Array,
+                 cache: KVCache, tokens: jax.Array, all_logits: bool
+                 ) -> tuple[jax.Array, KVCache]:
+    """Final-norm output ``h`` -> logits; bumps cache lengths."""
     hl = h if all_logits else h[:, -1]
     head_pre = False
     if cfg.hperm:
@@ -786,4 +826,35 @@ def permute_hidden_params(params: Params, cfg: ModelConfig) -> Params:
                 pack_stream)
             l2["w_pack"] = pack_stream(l2["wqkv"], l2["wo"], l2["w_gu_f"])
         out["layers"].append(l2)
+    return build_model_pack(out, cfg)
+
+
+def build_model_pack(params: Params, cfg: ModelConfig) -> Params:
+    """Stack every layer's packed stream + w_down + norms into ONE set of
+    arrays (``params["m_pack"]``) so the whole-model kernel
+    (ops/layer_kernel.model_step) can run all decoder layers in a single
+    Pallas launch. No-op unless every layer has a uniform w_pack."""
+    layers = params["layers"]
+    if not layers or not all(
+            isinstance(l.get("w_pack"), QuantLinear)
+            and isinstance(l.get("w_down"), QuantLinear) for l in layers):
+        return params
+    p0, d0 = layers[0]["w_pack"], layers[0]["w_down"]
+    if not all(l["w_pack"].array_shape == p0.array_shape
+               and l["w_down"].array_shape == d0.array_shape
+               for l in layers):
+        return params
+    out = dict(params)
+    out["m_pack"] = {
+        "qs": jnp.concatenate([l["w_pack"].qs for l in layers], axis=0),
+        "es": jnp.concatenate([l["w_pack"].es for l in layers], axis=0),
+        "em": jnp.concatenate([l["w_pack"].em for l in layers], axis=0),
+        "dqs": jnp.concatenate([l["w_down"].qs for l in layers], axis=0),
+        "des": jnp.concatenate([l["w_down"].es for l in layers], axis=0),
+        "dem": jnp.concatenate([l["w_down"].em for l in layers], axis=0),
+        "anorm": jnp.stack([jnp.asarray(l["attn_norm"], jnp.float32)
+                            for l in layers]),
+        "mnorm": jnp.stack([jnp.asarray(l["mlp_norm"], jnp.float32)
+                            for l in layers]),
+    }
     return out

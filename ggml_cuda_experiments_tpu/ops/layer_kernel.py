@@ -113,7 +113,7 @@ def _pack_bn(nq: int, nw: int, ng: int, cap: int) -> int:
 def _layer_kernel(
     *refs,
     nP: int, bn: int, nQt: int, nWt: int, nD: int, bnD: int,
-    NQ: int, NW: int,
+    NQ: int, NW: int, nL: int,
     n_blocks: int, n_groups: int, ht: int, bk: int, nH: int, nKV: int,
     Kd: int, segsD: int,
     splits, splitsD, cache_dtype, rms_eps: float,
@@ -128,7 +128,7 @@ def _layer_kernel(
     dqs_ref, des_ref, dem_ref = next(it), next(it), next(it)
     o_ref, kn_ref, vn_ref = next(it), next(it), next(it)
     ybig, qt, eas, ebs, sca = (next(it) for _ in range(5))
-    m_scr, l_scr, acc_scr, ofin, h2 = (next(it) for _ in range(5))
+    m_scr, l_scr, acc_scr, ofin, h2, hcur = (next(it) for _ in range(6))
     ead, ebd, scd = (next(it) for _ in range(3))
     kbuf, vbuf = next(it), next(it)
     (kv_sem,) = it
@@ -154,28 +154,41 @@ def _layer_kernel(
     D = 128
     r = nH // nKV
     kh_pg = ht // r
+    T = nP + nD                                   # grid steps per layer
     WB = nQt + nWt                                # wo-residual / mlp step
     length = len_ref[0]                           # INCLUDING the new token
-    lyr = lyr_ref[0]
+    # ``nL``: layers in this launch. The per-layer entry (layer_step)
+    # passes nL=1 + the cache layer index via scalar prefetch; the
+    # whole-MODEL entry (model_step) runs all layers in ONE launch
+    # (grid nL*T) and derives the layer from the step index.
+    lyr = lyr_ref[0] + (i // T if nL > 1 else 0)
+    s = i - (i // T) * T if nL > 1 else i
     nvalid = jnp.minimum((length + bk - 1) // bk, n_blocks)
 
-    def kv_copies(t, slot):
+    def kv_copies(t, slot, lyr_=None):
         g = t // nvalid
         blk = t - g * nvalid
         row0 = g * kh_pg
         base = blk * bk
-        src_k = k_any.at[lyr, 0, pl.ds(row0, kh_pg), pl.ds(base, bk)]
-        src_v = v_any.at[lyr, 0, pl.ds(row0, kh_pg), pl.ds(base, bk)]
+        li = lyr if lyr_ is None else lyr_
+        src_k = k_any.at[li, 0, pl.ds(row0, kh_pg), pl.ds(base, bk)]
+        src_v = v_any.at[li, 0, pl.ds(row0, kh_pg), pl.ds(base, bk)]
         return (pltpu.make_async_copy(src_k, kbuf.at[slot],
                                       kv_sem.at[0, slot]),
                 pltpu.make_async_copy(src_v, vbuf.at[slot],
                                       kv_sem.at[1, slot]))
 
     @pl.when(i == 0)
+    def _first():
+        # the residual chain lives in hcur across all nL layers;
+        # h_ref is read exactly once, at the very first step
+        hcur[...] = h_ref[...].astype(jnp.float32)
+
+    @pl.when(s == 0)
     def _entry():
-        # h2 starts as the residual input; the W_o boundary ACCUMULATES
-        # into it — h_ref is never read after step 0.
-        h2[...] = h_ref[...].astype(jnp.float32)
+        # h2 starts as this layer's residual input; the W_o boundary
+        # ACCUMULATES into it
+        h2[...] = hcur[...]
         if b_entry:
             h = h2[...]                           # [1, dim] permuted
             var = jnp.sum(h * h, axis=1, keepdims=True) / h.shape[1]
@@ -185,7 +198,7 @@ def _layer_kernel(
         for c in kv_copies(0, 0):                 # first KV block
             c.start()
 
-    @pl.when(i == WB)
+    @pl.when(s == WB)
     def _wo_residual_and_mlp_build():
         # traced before _matvec, so at step WB the selector rebuild
         # happens before the first gu tile consumes it
@@ -198,24 +211,24 @@ def _layer_kernel(
         _act_quant_build(x, 1, eye_ref[...].astype(jnp.float32),
                          eas, ebs, sca)
 
-    @pl.when(i < nP)
+    @pl.when(s < nP)
     def _matvec():
-        # THE one uniform body: packed tile i -> ybig rows. Identical
+        # THE one uniform body: packed tile s -> ybig rows. Identical
         # code for the wqkv / W_o / w_gu phases; only the selector
         # scratch content (rebuilt at boundaries) distinguishes them.
         if not c_pack:
-            ybig[0:1, pl.ds(i * bn, bn)] = jnp.sum(
+            ybig[0:1, pl.ds(s * bn, bn)] = jnp.sum(
                 pqs_ref[:, :128].astype(jnp.float32), axis=1)[None, :]
             return
         es = pes_ref[...].astype(jnp.float32)
         em = pem_ref[...].astype(jnp.float32)
         y = _chunk8_compute(eas, ebs, sca[...], pqs_ref, es, em,
                             n_segs=1, splits=splits,
-                            store=_store_row(ybig, i * bn))
+                            store=_store_row(ybig, s * bn))
         if y is not None:
-            ybig[0:1, pl.ds(i * bn, bn)] = y
+            ybig[0:1, pl.ds(s * bn, bn)] = y
 
-    @pl.when(i == nQt - 1)
+    @pl.when(s == nQt - 1)
     def _rope_flash_wobuild():
         # -- RoPE splice + cache-append staging ---------------------------
         if c_rope:
@@ -364,7 +377,7 @@ def _layer_kernel(
             eas[sl, :] = (eye * aq[t:t + 1, :]).astype(jnp.int8)
             ebs[sl, :] = (eye * bq[t:t + 1, :]).astype(jnp.int8)
 
-    @pl.when(i == nP - 1)
+    @pl.when(s == nP - 1)
     def _mid_boundary():
         if not b_down:
             return
@@ -375,11 +388,20 @@ def _layer_kernel(
         _act_quant_build(mid, segsD, eye_ref[...].astype(jnp.float32),
                          ead, ebd, scd)
 
-    @pl.when(i >= nP)
+    @pl.when(s >= nP)
     def _down_phase():
-        t = i - nP
+        # stores feed BOTH hcur (the next layer's residual input) and
+        # o_ref (a single [1, dim] output block revisited every layer —
+        # intermediate layers' values are overwritten, the final
+        # writeback carries the last layer's hidden)
+        t = s - nP
+
+        def put(sl, val):
+            hcur[0:1, sl] = val
+            o_ref[0:1, sl] = val
+
         if not c_down:
-            o_ref[...] = (
+            put(pl.ds(t * bnD, bnD),
                 jnp.sum(dqs_ref[:, :128].astype(jnp.float32),
                         axis=1)[None, :bnD]
                 + 1e-6 * ybig[0:1, pl.ds(t * bnD, bnD)]
@@ -389,13 +411,14 @@ def _layer_kernel(
         em = dem_ref[...].astype(jnp.float32)
 
         def store(r0, rows, y):                   # mlp out + residual
-            o_ref[0:1, pl.ds(r0, rows)] = (
-                y[None, :] + h2[0:1, pl.ds(t * bnD + r0, rows)])
+            sl = pl.ds(t * bnD + r0, rows)
+            put(sl, y[None, :] + h2[0:1, sl])
 
         res = _chunk8_compute(ead, ebd, scd[...], dqs_ref, es, em,
                               n_segs=segsD, splits=splitsD, store=store)
         if res is not None:
-            o_ref[...] = res + h2[0:1, pl.ds(t * bnD, bnD)]
+            sl = pl.ds(t * bnD, bnD)
+            put(sl, res + h2[0:1, sl])
 
 
 def layer_step_supported(layer: dict, n_heads: int, n_kv_heads: int,
@@ -430,6 +453,174 @@ def layer_step_supported(layer: dict, n_heads: int, n_kv_heads: int,
     return cache_dtype in (jnp.bfloat16, jnp.float32)
 
 
+def _dispatch(
+    h, pqs, pes, pem, dqs, des, dem, anorm2, mnorm2,
+    k_cache, v_cache, lengths, layer0, *,
+    nL: int, n_heads: int, n_kv_heads: int, head_dim: int,
+    rope_theta: float, rms_eps: float, scale: float | None,
+    block_k: int, interpret: bool | None, phase: str,
+    tile_cap: int | None, wbytes: int,
+):
+    """Shared pallas dispatch for layer_step (nL=1) and model_step
+    (nL = all layers in ONE launch; grid nL*(nP+nD), layer derived from
+    the step index). Operands are raw arrays stacked over layers:
+    pqs/pes/pem [nL*NP, ...], dqs/des/dem [nL*ND, ...],
+    anorm2/mnorm2 [nL, dim]."""
+    nH, nKV, D = n_heads, n_kv_heads, head_dim
+    dim = nH * D
+    L, B, _, S, _ = k_cache.shape
+    assert B == 1 and h.shape == (1, dim)
+    if scale is None:
+        scale = float(1.0 / D ** 0.5)
+    bk = min(block_k, S)
+    assert S % bk == 0
+    n_blocks = S // bk
+    ht = 8
+    r = nH // nKV
+    assert nH % nKV == 0 and ht % r == 0
+    kh_pg = ht // r
+    n_groups = nH // ht
+
+    NPt, K = pqs.shape[0], pqs.shape[1] * 2
+    assert K == dim and NPt % nL == 0
+    NP = NPt // nL
+    NQ = (nH + 2 * nKV) * D
+    NW = dim
+    NG = NP - NQ - NW
+    NDt, Kd = dqs.shape[0], dqs.shape[1] * 2
+    assert NDt % nL == 0
+    ND = NDt // nL
+    assert NG == 2 * Kd and ND == dim
+    bn = _pack_bn(NQ, NW, NG, tile_cap or 4096)
+    nQt, nWt = NQ // bn, NW // bn
+    nP = NP // bn
+    splits = _row_splits(bn)
+    segsD = _n_segs(Kd)
+    planD = chunk8_plan(ND, Kd)
+    bnD, splitsD = planD["bn"], planD["splits"]
+    assert ND % bnD == 0
+    nD = ND // bnD
+    T = nP + nD
+    grid = (nL * T,)
+
+    # rope rows (rotate-half): out = x*C + roll(x, 64)*S2
+    pos = lengths[0].astype(jnp.float32)
+    freqs = rope_theta ** (-jnp.arange(0, D // 2, dtype=jnp.float32)
+                           / (D // 2))
+    ang = pos * freqs
+    cosv, sinv = jnp.cos(ang), jnp.sin(ang)
+    C = jnp.concatenate([cosv, cosv])
+    S2 = jnp.concatenate([-sinv, sinv])
+    rope = jnp.stack([C * scale, S2 * scale, C, S2])       # [4, 128]
+
+    eye = jnp.asarray(np.eye(128, dtype=np.int8))
+    lens_incl = lengths.astype(jnp.int32) + 1
+    lyr0 = jnp.atleast_1d(jnp.asarray(layer0, jnp.int32))
+    cache_dtype = k_cache.dtype
+
+    def _ls(i):
+        l = i // T
+        return l, i - l * T
+
+    cmap = lambda i, lens, lyr_: (0, 0)
+    lmap = lambda i, lens, lyr_: (_ls(i)[0], 0)
+
+    def pmap(i, lens, lyr_):
+        l, s = _ls(i)
+        return (l * nP + jnp.minimum(s, nP - 1), 0)
+
+    def dmap(i, lens, lyr_):
+        l, s = _ls(i)
+        return (l * nD + jnp.clip(s - nP, 0, nD - 1), 0)
+
+    kb = K // 32
+    kbd = Kd // 32
+    in_specs = [
+        pl.BlockSpec((1, dim), cmap),                # h
+        pl.BlockSpec((1, dim), lmap),                # attn_norm
+        pl.BlockSpec((1, dim), lmap),                # mlp_norm
+        pl.BlockSpec((4, 128), cmap),                # rope
+        pl.BlockSpec((128, 128), cmap),              # eye
+        pl.BlockSpec((bn, K // 2), pmap),            # packed qs
+        pl.BlockSpec((bn, kb), pmap),                # packed es
+        pl.BlockSpec((bn, kb), pmap),                # packed em
+        pl.BlockSpec(memory_space=pl.ANY),           # k cache
+        pl.BlockSpec(memory_space=pl.ANY),           # v cache
+        pl.BlockSpec((bnD, Kd // 2), dmap),          # down qs
+        pl.BlockSpec((bnD, kbd), dmap),              # down es
+        pl.BlockSpec((bnD, kbd), dmap),              # down em
+    ]
+    operands = [
+        h.astype(jnp.float32),
+        anorm2.astype(jnp.float32), mnorm2.astype(jnp.float32),
+        rope, eye,
+        pqs, pes, pem,
+        k_cache, v_cache,
+        dqs, des, dem,
+    ]
+
+    scratch = [
+        pltpu.VMEM((1, NP), jnp.float32),            # ybig
+        pltpu.VMEM((nH, 128), jnp.float32),          # qt
+        pltpu.VMEM((K // 2, 128), jnp.int8),         # eas (shared)
+        pltpu.VMEM((K // 2, 128), jnp.int8),         # ebs (shared)
+        pltpu.VMEM((4, kb), jnp.float32),            # sca (shared)
+        pltpu.VMEM((nH, 128), jnp.float32),          # m
+        pltpu.VMEM((nH, 128), jnp.float32),          # l
+        pltpu.VMEM((ht, 128), jnp.float32),          # acc
+        pltpu.VMEM((nH, 128), jnp.float32),          # ofin
+        pltpu.VMEM((1, dim), jnp.float32),           # h2
+        pltpu.VMEM((1, dim), jnp.float32),           # hcur
+        pltpu.VMEM((Kd // 2, 128), jnp.int8),        # ead
+        pltpu.VMEM((Kd // 2, 128), jnp.int8),        # ebd
+        pltpu.VMEM((4, kbd), jnp.float32),           # scd
+        pltpu.VMEM((2, kh_pg, bk, D), cache_dtype),  # kbuf
+        pltpu.VMEM((2, kh_pg, bk, D), cache_dtype),  # vbuf
+        pltpu.SemaphoreType.DMA((2, 2)),             # kv sems
+    ]
+
+    kernel = functools.partial(
+        _layer_kernel,
+        nP=nP, bn=bn, nQt=nQt, nWt=nWt, nD=nD, bnD=bnD,
+        NQ=NQ, NW=NW, nL=nL,
+        n_blocks=n_blocks, n_groups=n_groups, ht=ht, bk=bk,
+        nH=nH, nKV=nKV, Kd=Kd, segsD=segsD,
+        splits=splits, splitsD=splitsD,
+        cache_dtype=cache_dtype, rms_eps=rms_eps, phase=phase)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, ND), cmap),             # h_next (revisited)
+            pl.BlockSpec((nKV, D), lmap),            # k_new rows
+            pl.BlockSpec((nKV, D), lmap),            # v_new rows
+        ],
+        scratch_shapes=scratch,
+    )
+
+    h_next, k_new, v_new = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, ND), jnp.float32),
+            jax.ShapeDtypeStruct((nL * nKV, D), cache_dtype),
+            jax.ShapeDtypeStruct((nL * nKV, D), cache_dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 2**20),
+        cost_estimate=pl.CostEstimate(
+            flops=nL * 2 * (NP * K + ND * Kd) + nL * 4 * nH * S * D,
+            bytes_accessed=wbytes
+            + nL * 2 * nKV * S * D * k_cache.dtype.itemsize,
+            transcendentals=nL * (nH * S + Kd)),
+        interpret=interpret_default(interpret),
+    )(lens_incl, lyr0, *operands)
+    return h_next, k_new, v_new
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_heads", "n_kv_heads", "head_dim", "rope_theta",
@@ -457,145 +648,56 @@ def layer_step(
 ):
     """Returns (h_next [1, dim] f32 PERMUTED post-layer hidden,
     k_new [Hkv, D], v_new [Hkv, D]) for the caller's cache append."""
-    nH, nKV, D = n_heads, n_kv_heads, head_dim
-    dim = nH * D
-    L, B, _, S, _ = k_cache.shape
-    assert B == 1 and h.shape == (1, dim)
-    if scale is None:
-        scale = float(1.0 / D ** 0.5)
-    bk = min(block_k, S)
-    assert S % bk == 0
-    n_blocks = S // bk
-    ht = 8
-    r = nH // nKV
-    assert nH % nKV == 0 and ht % r == 0
-    kh_pg = ht // r
-    n_groups = nH // ht
-
-    NP, K = w_pack.array_shape
-    assert K == dim
-    NQ = (nH + 2 * nKV) * D
-    NW = dim
-    NG = NP - NQ - NW
-    ND, Kd = w_down.array_shape
-    assert NG == 2 * Kd and ND == dim
-    bn = _pack_bn(NQ, NW, NG, tile_cap or 4096)
-    nQt, nWt = NQ // bn, NW // bn
-    nP = NP // bn
-    splits = _row_splits(bn)
-    segsD = _n_segs(Kd)
-    planD = chunk8_plan(ND, Kd)
-    bnD, splitsD = planD["bn"], planD["splits"]
-    assert ND % bnD == 0
-    nD = ND // bnD
-    grid = (nP + nD,)
-
-    # rope rows (rotate-half): out = x*C + roll(x, 64)*S2
-    pos = lengths[0].astype(jnp.float32)
-    freqs = rope_theta ** (-jnp.arange(0, D // 2, dtype=jnp.float32)
-                           / (D // 2))
-    ang = pos * freqs
-    cosv, sinv = jnp.cos(ang), jnp.sin(ang)
-    C = jnp.concatenate([cosv, cosv])
-    S2 = jnp.concatenate([-sinv, sinv])
-    rope = jnp.stack([C * scale, S2 * scale, C, S2])       # [4, 128]
-
-    eye = jnp.asarray(np.eye(128, dtype=np.int8))
-    lens_incl = lengths.astype(jnp.int32) + 1
-    lyr = jnp.atleast_1d(jnp.asarray(layer, jnp.int32))
-    cache_dtype = k_cache.dtype
-
-    cmap = lambda i, lens, lyr_: (0, 0)
-    pmap = lambda i, lens, lyr_: (jnp.minimum(i, nP - 1), 0)
-    dmap = lambda i, lens, lyr_: (
-        jnp.clip(i - nP, 0, nD - 1), 0)
-    omap = lambda i, lens, lyr_: (
-        0, jnp.clip(i - nP, 0, nD - 1))
-
-    kb = K // 32
-    kbd = Kd // 32
-    in_specs = [
-        pl.BlockSpec((1, dim), cmap),                # h
-        pl.BlockSpec((1, dim), cmap),                # attn_norm
-        pl.BlockSpec((1, dim), cmap),                # mlp_norm
-        pl.BlockSpec((4, 128), cmap),                # rope
-        pl.BlockSpec((128, 128), cmap),              # eye
-        pl.BlockSpec((bn, K // 2), pmap),            # packed qs
-        pl.BlockSpec((bn, kb), pmap),                # packed es
-        pl.BlockSpec((bn, kb), pmap),                # packed em
-        pl.BlockSpec(memory_space=pl.ANY),           # k cache
-        pl.BlockSpec(memory_space=pl.ANY),           # v cache
-        pl.BlockSpec((bnD, Kd // 2), dmap),          # down qs
-        pl.BlockSpec((bnD, kbd), dmap),              # down es
-        pl.BlockSpec((bnD, kbd), dmap),              # down em
-    ]
-    operands = [
-        h.astype(jnp.float32),
-        attn_norm.reshape(1, dim).astype(jnp.float32),
-        mlp_norm.reshape(1, dim).astype(jnp.float32),
-        rope, eye,
-        w_pack.qs, w_pack.es, w_pack.em,
-        k_cache, v_cache,
+    dim = n_heads * head_dim
+    return _dispatch(
+        h, w_pack.qs, w_pack.es, w_pack.em,
         w_down.qs, w_down.es, w_down.em,
-    ]
+        attn_norm.reshape(1, dim), mlp_norm.reshape(1, dim),
+        k_cache, v_cache, lengths, layer,
+        nL=1, n_heads=n_heads, n_kv_heads=n_kv_heads, head_dim=head_dim,
+        rope_theta=rope_theta, rms_eps=rms_eps, scale=scale,
+        block_k=block_k, interpret=interpret, phase=phase,
+        tile_cap=tile_cap, wbytes=w_pack.nbytes + w_down.nbytes)
 
-    scratch = [
-        pltpu.VMEM((1, NP), jnp.float32),            # ybig
-        pltpu.VMEM((nH, 128), jnp.float32),          # qt
-        pltpu.VMEM((K // 2, 128), jnp.int8),         # eas (shared)
-        pltpu.VMEM((K // 2, 128), jnp.int8),         # ebs (shared)
-        pltpu.VMEM((4, kb), jnp.float32),            # sca (shared)
-        pltpu.VMEM((nH, 128), jnp.float32),          # m
-        pltpu.VMEM((nH, 128), jnp.float32),          # l
-        pltpu.VMEM((ht, 128), jnp.float32),          # acc
-        pltpu.VMEM((nH, 128), jnp.float32),          # ofin
-        pltpu.VMEM((1, dim), jnp.float32),           # h2
-        pltpu.VMEM((Kd // 2, 128), jnp.int8),        # ead
-        pltpu.VMEM((Kd // 2, 128), jnp.int8),        # ebd
-        pltpu.VMEM((4, kbd), jnp.float32),           # scd
-        pltpu.VMEM((2, kh_pg, bk, D), cache_dtype),  # kbuf
-        pltpu.VMEM((2, kh_pg, bk, D), cache_dtype),  # vbuf
-        pltpu.SemaphoreType.DMA((2, 2)),             # kv sems
-    ]
 
-    kernel = functools.partial(
-        _layer_kernel,
-        nP=nP, bn=bn, nQt=nQt, nWt=nWt, nD=nD, bnD=bnD,
-        NQ=NQ, NW=NW,
-        n_blocks=n_blocks, n_groups=n_groups, ht=ht, bk=bk,
-        nH=nH, nKV=nKV, Kd=Kd, segsD=segsD,
-        splits=splits, splitsD=splitsD,
-        cache_dtype=cache_dtype, rms_eps=rms_eps, phase=phase)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((1, bnD), omap),            # h_next tiles
-            pl.BlockSpec((nKV, D), cmap),            # k_new
-            pl.BlockSpec((nKV, D), cmap),            # v_new
-        ],
-        scratch_shapes=scratch,
-    )
-
-    wbytes = w_pack.nbytes + w_down.nbytes
-    h_next, k_new, v_new = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((1, ND), jnp.float32),
-            jax.ShapeDtypeStruct((nKV, D), cache_dtype),
-            jax.ShapeDtypeStruct((nKV, D), cache_dtype),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=100 * 2**20),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * (NP * K + ND * Kd) + 4 * nH * S * D,
-            bytes_accessed=wbytes
-            + 2 * nKV * S * D * k_cache.dtype.itemsize,
-            transcendentals=nH * S + Kd),
-        interpret=interpret_default(interpret),
-    )(lens_incl, lyr, *operands)
-    return h_next, k_new, v_new
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_heads", "n_kv_heads", "head_dim", "rope_theta",
+                     "rms_eps", "scale", "block_k", "interpret", "phase",
+                     "tile_cap"),
+)
+def model_step(
+    h: jax.Array,                 # [1, dim] PERMUTED hidden (embedded tok)
+    m_pack: dict,                 # build_model_pack(params) arrays
+    k_cache: jax.Array,           # [L, 1, Hkv, S, D]
+    v_cache: jax.Array,
+    lengths: jax.Array,           # [1] int32, BEFORE this token
+    *,
+    n_heads: int, n_kv_heads: int, head_dim: int,
+    rope_theta: float = 10000.0, rms_eps: float = 1e-5,
+    scale: float | None = None,
+    block_k: int = 256,
+    interpret: bool | None = None,
+    phase: str = "all",
+    tile_cap: int | None = None,
+):
+    """ALL decoder layers in ONE Pallas launch (the per-layer launch tax
+    and inter-layer XLA glue measured ~26 us/layer in-scan vs in-chain —
+    PERF.md round 5). Returns (h_last [1, dim] f32 PERMUTED hidden after
+    the last layer, k_new [L, Hkv, D], v_new [L, Hkv, D]); the caller
+    appends k/v with ONE dynamic-update-slice per cache array and runs
+    final-norm + head."""
+    L = k_cache.shape[0]
+    nKV, D = n_kv_heads, head_dim
+    h_next, k_new, v_new = _dispatch(
+        h, m_pack["qs"], m_pack["es"], m_pack["em"],
+        m_pack["dqs"], m_pack["des"], m_pack["dem"],
+        m_pack["anorm"], m_pack["mnorm"],
+        k_cache, v_cache, lengths, 0,
+        nL=L, n_heads=n_heads, n_kv_heads=n_kv_heads, head_dim=head_dim,
+        rope_theta=rope_theta, rms_eps=rms_eps, scale=scale,
+        block_k=block_k, interpret=interpret, phase=phase,
+        tile_cap=tile_cap,
+        wbytes=sum(m_pack[k].nbytes for k in
+                   ("qs", "es", "em", "dqs", "des", "dem")))
+    return (h_next, k_new.reshape(L, nKV, D), v_new.reshape(L, nKV, D))

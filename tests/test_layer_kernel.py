@@ -60,7 +60,9 @@ def weights():
 
 def test_e2e_decode_matches_megakernels():
     """cfg.fuse_layer decode tokens == the two-megakernel hperm decode on
-    a 2-layer dim-4096 model (the smallest shape the gate accepts)."""
+    a 2-layer dim-4096 model (the smallest shape the gate accepts) — for
+    BOTH fused paths: the whole-MODEL kernel (m_pack present) and the
+    per-layer kernel (m_pack stripped)."""
     import dataclasses
     from ggml_cuda_experiments_tpu.models import llama
     from ggml_cuda_experiments_tpu.models.config import ModelConfig
@@ -72,16 +74,21 @@ def test_e2e_decode_matches_megakernels():
     params = llama.quantize_params(
         llama.init_weights(cfg, seed=1, as_numpy=True), "q4_k")
     params = llama.permute_hidden_params(params, cfg)
+    assert "m_pack" in params
     params = jax.device_put(params)
+    per_layer = {k: v for k, v in params.items() if k != "m_pack"}
     prompt = jnp.asarray(np.arange(1, 9)[None, :], jnp.int32)
 
     toks = {}
-    for fl in (False, True):
+    for name, p, fl in (("mega2", params, False),
+                        ("model", params, True),
+                        ("layer", per_layer, True)):
         c = dataclasses.replace(cfg, fuse_layer=fl)
         cache = llama.KVCache.create(c, 1, 256)
-        toks[fl] = np.asarray(
-            llama.generate_scan(params, c, prompt, cache, 5))
-    assert np.array_equal(toks[False], toks[True]), toks
+        toks[name] = np.asarray(
+            llama.generate_scan(p, c, prompt, cache, 5))
+    assert np.array_equal(toks["mega2"], toks["model"]), toks
+    assert np.array_equal(toks["mega2"], toks["layer"]), toks
 
 
 def test_supported_gate(weights):

@@ -114,9 +114,12 @@ def _probe_kernel(ea_ref, eb_ref, xc_ref, qs_ref, qh_ref, es_ref, o_ref,
         else:
             raise ValueError(mode)
         es = es_ref[r0:r0 + rows, :z.shape[1]].astype(jnp.float32)
-        outs.append(jnp.sum(es * z, axis=1))
+        # per-subtile store (a 1-D concat of 512-wide parts needs
+        # 1024-aligned offsets on Mosaic — store instead, like
+        # quant_matmul's subtile-fold callback)
+        o_ref[0:1, r0:r0 + rows] = jnp.sum(es * z, axis=1)[None, :]
         r0 += rows
-    o_ref[...] = jnp.concatenate(outs)[None, :]
+    del outs
 
 
 def make_probe(mode, rows_n, rng):
@@ -152,10 +155,15 @@ def make_probe(mode, rows_n, rng):
         interpret=interpret_default(None),
     )
 
-    @jax.jit
-    def run(seed):
-        o = call(ea, eb, xc, qs, qh, es)
-        return jnp.sum(o)                 # tiny host fetch bounds the run
+    # chained jitted loop (bench.py discipline): the weights are far too
+    # big for VMEM, so XLA cannot hoist the stream out of the loop; the
+    # scalar carry serializes iterations
+    @functools.partial(jax.jit, static_argnames=("inner",))
+    def run(c0, inner):
+        def body(_, c):
+            o = call(ea, eb, xc * (1.0 + c * 1e-20), qs, qh, es)
+            return jnp.sum(o) * 1e-20
+        return jax.lax.fori_loop(0, inner, body, c0)
 
     return run, nbytes
 
@@ -166,10 +174,12 @@ def make_cur(rows_n, rng):
     x = jnp.asarray(rng.normal(size=(1, K)).astype(np.float32))
     nbytes = ql.nbytes
 
-    @jax.jit
-    def run(seed):
-        y = qm.qmatmul(x * (1.0 + 1e-9 * seed), ql)
-        return jnp.sum(y)
+    @functools.partial(jax.jit, static_argnames=("inner",))
+    def run(c0, inner):
+        def body(_, c):
+            y = qm.qmatmul(x * (1.0 + c * 1e-20), ql)
+            return jnp.sum(y) * 1e-20
+        return jax.lax.fori_loop(0, inner, body, c0)
 
     return run, nbytes
 
@@ -177,15 +187,9 @@ def make_cur(rows_n, rng):
 def marginal_pair(fs_small, fs_big, inner, reps):
     def t(f):
         t0 = time.perf_counter()
-        s = 0.0
-        for i in range(inner):
-            s = f(jnp.float32(i))
-        np.asarray(s)
+        np.asarray(f(jnp.float32(0.0), inner))
         return time.perf_counter() - t0
 
-    # NOTE: each call re-dispatches (no fori chain: the weights are the
-    # same arrays, but separate pallas dispatches re-stream them — the
-    # per-dispatch overhead cancels in the size marginal)
     ts = min(t(fs_small) for _ in range(reps))
     tb = min(t(fs_big) for _ in range(reps))
     return (tb - ts) / inner
@@ -206,7 +210,8 @@ def main():
         mk = make_cur if v == "cur" else functools.partial(make_probe, v)
         fs, nb_s = mk(N_SMALL, rng)
         fb, nb_b = mk(N_BIG, rng)
-        np.asarray(fs(jnp.float32(-1))), np.asarray(fb(jnp.float32(-1)))
+        np.asarray(fs(jnp.float32(0.0), args.inner))   # compile + warm
+        np.asarray(fb(jnp.float32(0.0), args.inner))
         per = marginal_pair(fs, fb, args.inner, args.reps)
         dbytes = nb_b - nb_s
         gbs = dbytes / per / 1e9
