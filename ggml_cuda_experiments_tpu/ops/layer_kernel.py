@@ -192,7 +192,7 @@ def _layer_kernel(
         if b_entry:
             h = h2[...]                           # [1, dim] permuted
             var = jnp.sum(h * h, axis=1, keepdims=True) / h.shape[1]
-            x = h * jax.lax.rsqrt(var + rms_eps) * anorm_ref[...]
+            x = h * jax.lax.rsqrt(var + rms_eps) * anorm_ref[0]
             _act_quant_build(x, 1, eye_ref[...].astype(jnp.float32),
                              eas, ebs, sca)
         for c in kv_copies(0, 0):                 # first KV block
@@ -207,7 +207,7 @@ def _layer_kernel(
         h2[...] = h2[...] + ybig[0:1, NQ:NQ + NW]  # attn-out residual
         hv = h2[...]
         var = jnp.sum(hv * hv, axis=1, keepdims=True) / hv.shape[1]
-        x = hv * jax.lax.rsqrt(var + rms_eps) * mnorm_ref[...]
+        x = hv * jax.lax.rsqrt(var + rms_eps) * mnorm_ref[0]
         _act_quant_build(x, 1, eye_ref[...].astype(jnp.float32),
                          eas, ebs, sca)
 
@@ -524,6 +524,7 @@ def _dispatch(
 
     cmap = lambda i, lens, lyr_: (0, 0)
     lmap = lambda i, lens, lyr_: (_ls(i)[0], 0)
+    lmap3 = lambda i, lens, lyr_: (_ls(i)[0], 0, 0)
 
     def pmap(i, lens, lyr_):
         l, s = _ls(i)
@@ -537,8 +538,12 @@ def _dispatch(
     kbd = Kd // 32
     in_specs = [
         pl.BlockSpec((1, dim), cmap),                # h
-        pl.BlockSpec((1, dim), lmap),                # attn_norm
-        pl.BlockSpec((1, dim), lmap),                # mlp_norm
+        # [nL, 1, dim] with (1, 1, dim) blocks: the real-TPU lowering
+        # requires the LAST TWO block dims to divide (8, 128) or equal
+        # the array dims — a (1, dim) block over [nL, dim] violates the
+        # sublane rule (interpret mode accepted it; the chip did not)
+        pl.BlockSpec((1, 1, dim), lmap3),            # attn_norm
+        pl.BlockSpec((1, 1, dim), lmap3),            # mlp_norm
         pl.BlockSpec((4, 128), cmap),                # rope
         pl.BlockSpec((128, 128), cmap),              # eye
         pl.BlockSpec((bn, K // 2), pmap),            # packed qs
@@ -552,7 +557,8 @@ def _dispatch(
     ]
     operands = [
         h.astype(jnp.float32),
-        anorm2.astype(jnp.float32), mnorm2.astype(jnp.float32),
+        anorm2.reshape(-1, 1, anorm2.shape[-1]).astype(jnp.float32),
+        mnorm2.reshape(-1, 1, mnorm2.shape[-1]).astype(jnp.float32),
         rope, eye,
         pqs, pes, pem,
         k_cache, v_cache,
