@@ -524,10 +524,9 @@ def _forward(params: Params, cfg: ModelConfig, tokens: jax.Array,
 
 
 def _layer_kernel_ok(layer, cfg: ModelConfig, cache: KVCache) -> bool:
-    from ggml_cuda_experiments_tpu.ops.layer_kernel import (
-        layer_step_supported)
-    return layer_step_supported(layer, cfg.n_heads, cfg.n_kv_heads,
-                                cfg.head_dim, cache.k.dtype)
+    from ggml_cuda_experiments_tpu.ops.layer_kernel import fused_layout_ok
+    return fused_layout_ok(layer, cfg.n_heads, cfg.n_kv_heads,
+                           cfg.head_dim, cache.k.dtype)
 
 
 def _head_logits(params: Params, cfg: ModelConfig, h: jax.Array,
@@ -857,4 +856,9 @@ def build_model_pack(params: Params, cfg: ModelConfig) -> Params:
         "mnorm": jnp.stack([jnp.asarray(l["mlp_norm"], jnp.float32)
                             for l in layers]),
     }
+    # the per-layer packed streams are now redundant copies of m_pack
+    # rows (~2.7 GB at 7B — enough to OOM a batch-8 cache next to the
+    # base weights); the model path supersedes the per-layer path
+    out["layers"] = [{k: v for k, v in l.items() if k != "w_pack"}
+                     for l in layers]
     return out

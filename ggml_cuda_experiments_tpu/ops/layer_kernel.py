@@ -421,19 +421,21 @@ def _layer_kernel(
             put(sl, res + h2[0:1, sl])
 
 
-def layer_step_supported(layer: dict, n_heads: int, n_kv_heads: int,
-                         head_dim: int, cache_dtype) -> bool:
-    """Static gate: the fused q4_k-e layout with wof W_o + w_gu_f, dim
-    4096, MHA/GQA r in {1,2,4,8}, bf16/f32 contiguous cache, and the
-    packed stream present (built by permute_hidden_params)."""
-    need = ("wqkv", "wo", "w_gu_f", "w_down", "w_pack")
+def fused_layout_ok(layer: dict, n_heads: int, n_kv_heads: int,
+                    head_dim: int, cache_dtype) -> bool:
+    """Static gate for the fused-kernel weight layout: q4_k-e with wof
+    W_o + w_gu_f, dim 4096, MHA/GQA r in {1,2,4,8}, bf16/f32 contiguous
+    cache. The whole-MODEL path needs this plus params['m_pack']; the
+    per-layer path (layer_step_supported) additionally needs the
+    per-layer packed stream."""
+    need = ("wqkv", "wo", "w_gu_f", "w_down")
     if any(k not in layer for k in need):
         return False
     ws = [layer[k] for k in need]
     if not all(isinstance(w, QuantLinear) and w.fmt == "q4_k"
                and w.enc == "e" for w in ws):
         return False
-    wqkv, wo, guf, down, pack = ws
+    wqkv, wo, guf, down = ws
     dim = n_heads * head_dim
     nw, kw = wo.array_shape
     if wo.layout != "wof" or not wof_shape_supported(
@@ -448,9 +450,22 @@ def layer_step_supported(layer: dict, n_heads: int, n_kv_heads: int,
         return False
     if (kg // 32) % 128 != 0:
         return False
-    if pack.array_shape != (nq + nw + ng, dim):
-        return False
     return cache_dtype in (jnp.bfloat16, jnp.float32)
+
+
+def layer_step_supported(layer: dict, n_heads: int, n_kv_heads: int,
+                         head_dim: int, cache_dtype) -> bool:
+    """fused_layout_ok + the per-layer packed stream present."""
+    if not fused_layout_ok(layer, n_heads, n_kv_heads, head_dim,
+                           cache_dtype):
+        return False
+    pack = layer.get("w_pack")
+    nq = layer["wqkv"].array_shape[0]
+    nw = layer["wo"].array_shape[0]
+    ng = layer["w_gu_f"].array_shape[0]
+    dim = n_heads * head_dim
+    return (isinstance(pack, QuantLinear)
+            and pack.array_shape == (nq + nw + ng, dim))
 
 
 def _dispatch(

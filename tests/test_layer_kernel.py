@@ -76,7 +76,12 @@ def test_e2e_decode_matches_megakernels():
     params = llama.permute_hidden_params(params, cfg)
     assert "m_pack" in params
     params = jax.device_put(params)
+    # per-layer variant: strip m_pack, rebuild the per-layer streams
+    # (permute_hidden_params drops them once m_pack exists)
     per_layer = {k: v for k, v in params.items() if k != "m_pack"}
+    per_layer["layers"] = [
+        dict(l, w_pack=pack_stream(l["wqkv"], l["wo"], l["w_gu_f"]))
+        for l in params["layers"]]
     prompt = jnp.asarray(np.arange(1, 9)[None, :], jnp.int32)
 
     toks = {}
