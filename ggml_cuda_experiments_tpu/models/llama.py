@@ -267,6 +267,11 @@ def _xla_decode_attention(q: jax.Array, cache: "KVCache", li,
     return o.reshape(B, Hq, D)
 
 
+# Fused prefill RoPE+repack kernel (ops/prefill_fuse.py) — module-level
+# A/B lever for tests/probes; the shape gate lives in _attention_block.
+PREFILL_FUSE_ROPE = True
+
+
 def _attention_block(layer: Params, cfg: ModelConfig, h: jax.Array,
                      cache: "KVCache", li, positions, *, decode: bool,
                      reduce_axis: str | None = None, b0=0, valid=None):
@@ -311,15 +316,36 @@ def _attention_block(layer: Params, cfg: ModelConfig, h: jax.Array,
                 lengths=cache.lengths, k_scale=None, v_scale=None)
             return o2[:, None, :].astype(h.dtype), cache
 
-    q, k, v = qkv_proj(layer, x, cfg)
-    q = q.reshape(B, T, Hq, D)
-    k = k.reshape(B, T, Hkv, D)
-    v = v.reshape(B, T, Hkv, D)
-    q = rope(q, positions, cfg.rope_theta)
-    k = rope(k, positions, cfg.rope_theta)
+    fuse_rope = (PREFILL_FUSE_ROPE and not decode and not micro
+                 and reduce_axis is None
+                 and B == 1 and T % 128 == 0 and D == 128
+                 and "wqkv" in layer and not quantized)
+    if fuse_rope:
+        # one fused kernel replaces reshape + rope(q) + rope(k) + three
+        # [T,H,D]->[H,T,D] transposes (each a ~4-8 MB HBM materialization
+        # per layer — the measured prefill glue, PERF.md "TTFT")
+        from ggml_cuda_experiments_tpu.ops.prefill_fuse import (
+            rope_pack_prefill)
+        y = apply_linear(x, layer["wqkv"], xq8=False,
+                         x_prepermuted=cfg.hperm)       # [1, T, NQt]
+        qT, kt1, vt1 = rope_pack_prefill(
+            y[0], positions[0],
+            n_heads=Hq, n_kv_heads=Hkv, head_dim=D,
+            rope_theta=cfg.rope_theta)
+        q = qT.transpose(1, 0, 2)[None]     # [1, T, Hq, D] (cache path
+        kt, vt = kt1[None], vt1[None]       # below only uses kt/vt; the
+        # q transpose is consumed by flash as q.transpose back — XLA
+        # cancels the round trip, so flash reads qT directly)
+    else:
+        q, k, v = qkv_proj(layer, x, cfg)
+        q = q.reshape(B, T, Hq, D)
+        k = k.reshape(B, T, Hkv, D)
+        v = v.reshape(B, T, Hkv, D)
+        q = rope(q, positions, cfg.rope_theta)
+        k = rope(k, positions, cfg.rope_theta)
 
-    kt = k.transpose(0, 2, 1, 3)            # [B, Hkv, T, D]
-    vt = v.transpose(0, 2, 1, 3)
+        kt = k.transpose(0, 2, 1, 3)        # [B, Hkv, T, D]
+        vt = v.transpose(0, 2, 1, 3)
     pos0 = positions[:, 0]
     if quantized:
         kq, ksc = _quantize_rowwise(kt, cache.quant_fmt)
@@ -811,43 +837,43 @@ def permute_hidden_params(params: Params, cfg: ModelConfig) -> Params:
         l2["mlp_norm"] = pvec(layer["mlp_norm"])
         l2["wo"] = prow(layer["wo"])
         l2["w_down"] = prow(layer["w_down"])
-        if (all(isinstance(l2.get(k), QuantLinear)
-                and l2[k].fmt == "q4_k" and l2[k].enc == "e"
-                for k in ("wqkv", "wo", "w_gu_f"))
-                and isinstance(l2.get("w_down"), QuantLinear)
-                and l2["w_down"].array_shape[1] % 4096 == 0):
-            # one row-stacked weight stream for the whole-layer kernel
-            # (cfg.fuse_layer): uniform tiles, one compute body — see
-            # ops/layer_kernel.pack_stream. Costs a device-side copy of
-            # wqkv+wo+w_gu (~84 MB/layer at 7B) next to the originals,
-            # which prefill and the unfused paths still use.
-            from ggml_cuda_experiments_tpu.ops.layer_kernel import (
-                pack_stream)
-            l2["w_pack"] = pack_stream(l2["wqkv"], l2["wo"], l2["w_gu_f"])
         out["layers"].append(l2)
     return build_model_pack(out, cfg)
 
 
 def build_model_pack(params: Params, cfg: ModelConfig) -> Params:
-    """Stack every layer's packed stream + w_down + norms into ONE set of
-    arrays (``params["m_pack"]``) so the whole-model kernel
-    (ops/layer_kernel.model_step) can run all decoder layers in a single
-    Pallas launch. No-op unless every layer has a uniform w_pack."""
+    """Stack [wqkv | wof-W_o | w_gu_f] of every layer plus w_down + norms
+    into ONE set of arrays (``params["m_pack"]``) so the whole-model
+    kernel (ops/layer_kernel.model_step) runs all decoder layers in a
+    single Pallas launch. Built directly from the layer weights — no
+    per-layer intermediate packs (those transiently doubled the packed
+    bytes and OOMed a batch-8 cache next to the base weights at 7B).
+    No-op unless every layer has the uniform fused q4_k-e layout."""
     layers = params["layers"]
-    if not layers or not all(
-            isinstance(l.get("w_pack"), QuantLinear)
-            and isinstance(l.get("w_down"), QuantLinear) for l in layers):
+
+    def ok(l):
+        return (all(isinstance(l.get(k), QuantLinear)
+                    and l[k].fmt == "q4_k" and l[k].enc == "e"
+                    for k in ("wqkv", "wo", "w_gu_f", "w_down"))
+                and l["w_down"].array_shape[1] % 4096 == 0)
+
+    if not layers or not all(ok(l) for l in layers):
         return params
-    p0, d0 = layers[0]["w_pack"], layers[0]["w_down"]
-    if not all(l["w_pack"].array_shape == p0.array_shape
-               and l["w_down"].array_shape == d0.array_shape
-               for l in layers):
+    shapes0 = tuple(layers[0][k].array_shape
+                    for k in ("wqkv", "wo", "w_gu_f", "w_down"))
+    if not all(tuple(l[k].array_shape
+                     for k in ("wqkv", "wo", "w_gu_f", "w_down"))
+               == shapes0 for l in layers):
         return params
     out = dict(params)
+    stream = ("wqkv", "wo", "w_gu_f")
     out["m_pack"] = {
-        "qs": jnp.concatenate([l["w_pack"].qs for l in layers], axis=0),
-        "es": jnp.concatenate([l["w_pack"].es for l in layers], axis=0),
-        "em": jnp.concatenate([l["w_pack"].em for l in layers], axis=0),
+        "qs": jnp.concatenate([l[k].qs for l in layers for k in stream],
+                              axis=0),
+        "es": jnp.concatenate([l[k].es for l in layers for k in stream],
+                              axis=0),
+        "em": jnp.concatenate([l[k].em for l in layers for k in stream],
+                              axis=0),
         "dqs": jnp.concatenate([l["w_down"].qs for l in layers], axis=0),
         "des": jnp.concatenate([l["w_down"].es for l in layers], axis=0),
         "dem": jnp.concatenate([l["w_down"].em for l in layers], axis=0),
@@ -856,9 +882,4 @@ def build_model_pack(params: Params, cfg: ModelConfig) -> Params:
         "mnorm": jnp.stack([jnp.asarray(l["mlp_norm"], jnp.float32)
                             for l in layers]),
     }
-    # the per-layer packed streams are now redundant copies of m_pack
-    # rows (~2.7 GB at 7B — enough to OOM a batch-8 cache next to the
-    # base weights); the model path supersedes the per-layer path
-    out["layers"] = [{k: v for k, v in l.items() if k != "w_pack"}
-                     for l in layers]
     return out
