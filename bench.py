@@ -186,7 +186,11 @@ def decode_bench(model: str = "tinyllama-1.1b", fmt: str = "q4_k",
     prompt = jnp.ones((1, 16), jnp.int32)
 
     def run(steps, batch=1, plen=16):
-        cache = llama.KVCache.create(cfg, batch, 1024)
+        # batch 8 at S=1024 is a 4.3 GB cache — next to the base weights
+        # + the hperm/m_pack layout (~8.9 GB shared-structure total) it
+        # OOMs the 16 GB chip; S=512 halves it and the decode reads the
+        # same valid-length KV bytes either way
+        cache = llama.KVCache.create(cfg, batch, 512 if batch > 1 else 1024)
         p = jnp.ones((batch, plen), jnp.int32)
         t0 = _t.perf_counter()
         toks = llama.generate_scan(params, cfg, p, cache, steps)

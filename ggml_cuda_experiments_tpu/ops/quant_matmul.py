@@ -237,12 +237,33 @@ def _inv_perm_layout(k: int, layout: str) -> np.ndarray:
     return _inv_perm_wof(k) if layout == "wof" else _inv_perm(k)
 
 
+def _q6_seg(k: int) -> bool:
+    """True when K uses the SEGMENT-LOCAL q6 lane order (K % 4096 == 0):
+    byte-lane segments of 1024 bytes map their 16-element scale blocks
+    onto 128 selector columns (block of byte-lane i = (i//1024)*128 +
+    i%128, both nibbles of a byte in the same block) — the layout that
+    lets the hybrid kernel run the nibble planes as int8 MXU dots with
+    HALF the MACs of the global interleave (tools/q6_probe.py: nib_seg
+    63.0%% vs nib_global 50.8%% of roofline)."""
+    return k % 4096 == 0
+
+
 @functools.cache
 def _perm_q6(k: int) -> np.ndarray:
-    """q6_k device lane order: 2-level (K/16, 16) -> (16, K/16) transpose,
-    so the 16-element scale-block index of lane j is ``j mod (K/16)``
-    (scale blocks land in natural order on the lane axis)."""
+    """q6_k device lane order (lane j -> logical element index).
+
+    Global interleave (K %% 4096 != 0): 2-level (K/16, 16) -> (16, K/16)
+    transpose, so lane j's scale block is ``j mod (K/16)``.
+    Segment-local (K %% 4096 == 0, _q6_seg): byte-lane i carries block
+    (i//1024)*128 + i%%128; within-block position = (i%%1024)//128 for
+    the lo nibble, +8 for the hi nibble."""
     assert k % QK_K == 0, f"K={k} must be a multiple of {QK_K} for q6_k"
+    if _q6_seg(k):
+        kh = k // 2
+        i = np.arange(kh)
+        b = (i // 1024) * 128 + (i % 128)
+        u = (i % 1024) // 128
+        return np.concatenate([b * 16 + u, b * 16 + u + 8])
     kb = k // 16
     return (np.arange(k).reshape(kb, 16).transpose(1, 0).reshape(k))
 
@@ -253,12 +274,9 @@ def _inv_perm_q6(k: int) -> np.ndarray:
 
 
 def permute_activations_q6(x: jax.Array) -> jax.Array:
-    """q6_k activation order (16-element blocks; one transpose)."""
-    *lead, k = x.shape
-    nl = len(lead)
-    return (x.reshape(*lead, k // 16, 16)
-            .transpose(*range(nl), nl + 1, nl)
-            .reshape(*lead, k))
+    """q6_k activation order (layout-aware gather by _perm_q6)."""
+    k = x.shape[-1]
+    return jnp.take(x, jnp.asarray(_perm_q6(k)), axis=-1)
 
 
 def permute_activations(x: jax.Array) -> jax.Array:
@@ -811,6 +829,139 @@ def _qmatmul_chunk6(xp, ql, N, K, kb, block_n, out_dtype, interpret):
 
 
 # ---------------------------------------------------------------------------
+# hybrid q6_k matvec (B == 1, segment-local layout, K % 4096 == 0): the
+# 4-bit nibble planes run as int8 selector dots on the MXU (the q4 chunk8
+# idiom at q6's 16-element scale granularity), the 2-bit planes keep the
+# exact f32 floor-chain fold on the VPU. Measured rationale
+# (tools/q6_probe.py, PERF.md "q6_k head"): all-VPU 46.8% of roofline,
+# segment-local nibble dots 63.0% alone, 2-bit chain 75.5% alone — the
+# MXU/VPU split overlaps where the all-VPU kernel serializes.
+# ---------------------------------------------------------------------------
+
+def _chunk6h_kernel(ea_ref, eb_ref, xq_ref, sc_ref, qs_ref, qh_ref,
+                    s1_ref, o_ref, *, n_segs: int,
+                    splits: tuple[int, ...]):
+    """Per lane pair (i, i+K/2) with q = nib + 16*h - 32: the nibble part
+    uses the q4 chunk8 identity (lo = p & 0xF; p = lo + 16*hi4 - 128):
+        lo*xl + hi4*xh = lo*(xl - xh/16) + p*(xh/16) + 8*xh
+    — TWO int8 MXU dots per 1024-byte segment against the SAME
+    coefficient ranges as the proven q4 x_quant8 path (quantizing
+    xh - 16*xl instead measured 2.3%% error: 16x coarser int8 steps),
+    with the per-block constant c = 8*sum(xh) - 32*sum(x) folded in sc.
+    The 2-bit planes (qh byte i2 -> lanes i2, i2+K/4, i2+K/2, i2+3K/4)
+    stay exact f32: under the segment-local layout the (h0, h2) terms
+    belong to byte-lane i2's block and the (h1, h3) terms to byte-lane
+    (i2 + K/4)'s block — two fold streams whose block columns are the
+    first and second halves of the segment range."""
+    kh = qs_ref.shape[1]
+    csz = kh // n_segs                                # 1024 bytes/segment
+    kq = qh_ref.shape[1]                              # kh // 2
+    sa, sb, cc = sc_ref[0:1, :], sc_ref[1:2, :], sc_ref[2:3, :]
+    nsh = n_segs // 2
+    r0 = 0
+    for rows in splits:
+        p = qs_ref[r0:r0 + rows, :]                   # [rows, KH] int8
+        lo = p & 0x0F
+        z1s, z2s = [], []
+        for s in range(n_segs):
+            sl = slice(s * csz, (s + 1) * csz)
+            z1s.append(jax.lax.dot_general(
+                lo[:, sl], ea_ref[sl, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32))    # [rows, 128]
+            z2s.append(jax.lax.dot_general(
+                p[:, sl], eb_ref[sl, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32))
+        z1 = jnp.concatenate(z1s, axis=1).astype(jnp.float32)
+        z2 = jnp.concatenate(z2s, axis=1).astype(jnp.float32)
+
+        u = qh_ref[r0:r0 + rows, :].astype(jnp.float32)   # [rows, kq]
+        u_hi = jnp.floor(u * 0.0625 + 8.0)                # h2 + 4*h3
+        u_lo = u + 128.0 - 16.0 * u_hi                    # h0 + 4*h1
+        h1 = jnp.floor(u_lo * 0.25)
+        h0 = u_lo - 4.0 * h1
+        h3 = jnp.floor(u_hi * 0.25)
+        h2 = u_hi - 4.0 * h3
+        t2a = h0 * xq_ref[0:1, :] + h2 * xq_ref[2:3, :]   # -> blk(i2)
+        t2b = h1 * xq_ref[1:2, :] + h3 * xq_ref[3:4, :]   # -> blk(i2+kq)
+
+        def fold2(t):                  # [rows, kq] -> [rows, nsh*128]
+            parts = []
+            for s in range(nsh):
+                acc = t[:, s * csz:s * csz + 128]
+                for c in range(1, csz // 128):
+                    acc = acc + t[:, s * csz + c * 128:
+                                  s * csz + (c + 1) * 128]
+                parts.append(acc)
+            return parts[0] if nsh == 1 else jnp.concatenate(parts, 1)
+
+        zbit = jnp.concatenate([fold2(t2a), fold2(t2b)], axis=1)
+        es = s1_ref[r0:r0 + rows, :].astype(jnp.float32)  # [rows, kb6]
+        y = es * (sa * z1 + sb * z2 + cc + 16.0 * zbit)
+        o_ref[0:1, r0:r0 + rows] = jnp.sum(y, axis=1)[None, :]
+        r0 += rows
+
+
+def _qmatmul_chunk6h(xp, ql, N, K, kb6, block_n, out_dtype, interpret):
+    """Dispatch for the hybrid q6_k matvec (segment-local layout).
+    xp [1, K] f32 in the q6 device lane order."""
+    kh = K // 2
+    n_segs = kh // 1024
+    if block_n is None:
+        cap = max(128, (8_388_608 // K) // 128 * 128)
+        bn = _bn_no_pad(N, cap) or cap
+    else:
+        bn = block_n
+    bn = min(bn, N)
+    Np = -(-N // bn) * bn
+
+    def pad_rows(a):
+        return (jnp.pad(a, ((0, Np - a.shape[0]), (0, 0)))
+                if a.shape[0] != Np else a)
+
+    arrays = [pad_rows(getattr(ql, f)) for f in _FIELDS["q6_k"]]
+    xl, xh = xp[0, :kh], xp[0, kh:]
+    a = xl - xh / 16.0
+    bv = xh / 16.0
+    aq, sa = _quant_rows_blockwise(a, kb6, n_segs)
+    bq, sb = _quant_rows_blockwise(bv, kb6, n_segs)
+    sel = np.tile(_selector_np(1024, 128).astype(np.int8), (n_segs, 1))
+    sel = jnp.asarray(sel)                            # [KH, 128] int8
+    ea = (aq[:, None] * sel)
+    eb = (bq[:, None] * sel)
+    cc = (8.0 * _block_sums(xh, kb6, n_segs)
+          - 32.0 * _block_sums(xl + xh, kb6, n_segs))
+    sc = jnp.stack([sa, sb, cc, jnp.zeros_like(cc)])  # [4, kb6] f32
+    kq = kh // 2
+    xq = jnp.stack([xl[:kq], xl[kq:], xh[:kq], xh[kq:]])   # [4, kq] f32
+    splits = _row_splits(bn)
+    out = pl.pallas_call(
+        functools.partial(_chunk6h_kernel, n_segs=n_segs, splits=splits),
+        out_shape=jax.ShapeDtypeStruct((1, Np), jnp.float32),
+        grid=(Np // bn,),
+        in_specs=[
+            pl.BlockSpec((kh, 128), lambda n: (0, 0)),      # ea
+            pl.BlockSpec((kh, 128), lambda n: (0, 0)),      # eb
+            pl.BlockSpec((4, kq), lambda n: (0, 0)),        # xq
+            pl.BlockSpec((4, kb6), lambda n: (0, 0)),       # sc
+            pl.BlockSpec((bn, kh), lambda n: (n, 0)),       # qs
+            pl.BlockSpec((bn, kq), lambda n: (n, 0)),       # qh
+            pl.BlockSpec((bn, kb6), lambda n: (n, 0)),      # es
+        ],
+        out_specs=pl.BlockSpec((1, bn), lambda n: (0, n)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 2**20),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * K + N * K * 64,
+            bytes_accessed=sum(a_.size * a_.dtype.itemsize
+                               for a_ in arrays) + K * 4 + Np * 4,
+            transcendentals=0),
+        interpret=interpret_default(interpret),
+    )(ea, eb, xq, sc, *arrays)
+    return out[:, :N].astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
 # 2-D MXU kernel (requires pltpu.repeat-aligned K/32)
 # ---------------------------------------------------------------------------
 
@@ -1071,6 +1222,10 @@ def qmatmul(
             # permute_activations_q6 produces garbage (round-4 advisor).
             x = jnp.take(x, jnp.asarray(_inv_perm(K)), axis=-1)
         kb6 = K // 16
+        if B == 1 and _q6_seg(K):
+            xp6 = permute_activations_q6(x.astype(jnp.float32))
+            return _qmatmul_chunk6h(xp6, ql, N, K, kb6, block_n,
+                                    out_dtype, interpret)
         if B == 1 and kb6 % 128 == 0:
             xp6 = permute_activations_q6(x.astype(jnp.float32))
             return _qmatmul_chunk6(xp6, ql, N, K, kb6, block_n, out_dtype,
@@ -2088,7 +2243,10 @@ def dequantize_jnp(ql: QuantLinear, dtype=jnp.float32) -> jax.Array:
         h = jnp.concatenate(
             [u_lo & 3, u_lo >> 2, u_hi & 3, u_hi >> 2],
             axis=1).astype(jnp.float32)
-        es = jnp.tile(ql.es.astype(jnp.float32), (1, 16))
+        # lane j's scale block = perm[j] // 16 (layout-aware: global
+        # interleave OR the segment-local order, _perm_q6)
+        blk = jnp.asarray(np.asarray(_perm_q6(ql.array_shape[1])) // 16)
+        es = ql.es.astype(jnp.float32)[:, blk]
         wp = es * (nib + 16.0 * h - 32.0)
         inv = jnp.asarray(_inv_perm_q6(ql.array_shape[1]))
         return wp[:, inv].astype(dtype)

@@ -45,7 +45,12 @@ _MAGIC = b"GCTC"
 #       pre-v4 containers holding q6_k tensors are REJECTED on read
 #       (re-quantize from the source weights); v2/v3 content without
 #       q6_k reads unchanged
-_VERSION = 4
+#   v5: q6_k lane order becomes SEGMENT-LOCAL for K % 4096 == 0
+#       (quant_matmul._perm_q6 / _q6_seg — the hybrid int8-dot kernel's
+#       layout); same shapes, different element order, so pre-v5
+#       containers holding q6_k tensors with K % 4096 == 0 are REJECTED
+#       on read; everything else reads unchanged
+_VERSION = 5
 _DTYPES = {0: np.dtype(np.float32), 1: np.dtype(np.float16),
            2: np.dtype(ml_dtypes.bfloat16), 3: np.dtype(np.int8),
            4: np.dtype(np.uint8), 5: np.dtype(np.int32)}
@@ -98,9 +103,9 @@ def load_container(path, lazy: bool = True) -> dict[str, np.ndarray]:
         head = f.read(12)
         assert head[:4] == _MAGIC, f"{path} is not a GCTC container"
         version, n = struct.unpack("<II", head[4:12])
-        # v4 reads v2/v3 content unchanged EXCEPT q6_k (whose qh bit
-        # meaning changed in v4 — see the version history above)
-        assert version in (2, 3, _VERSION), f"unsupported version {version}"
+        # v5 reads v2-v4 content unchanged EXCEPT q6_k (qh bit meaning
+        # changed in v4, lane order for K%4096==0 in v5 — history above)
+        assert version in (2, 3, 4, _VERSION), f"unsupported version {version}"
         (data_offset,) = struct.unpack("<Q", f.read(8))
         entries = []
         for _ in range(n):
@@ -110,7 +115,8 @@ def load_container(path, lazy: bool = True) -> dict[str, np.ndarray]:
             shape = struct.unpack(f"<{ndim}I", f.read(4 * ndim))
             off, nbytes = struct.unpack("<QQ", f.read(16))
             entries.append((name, code, shape, off, nbytes))
-        if version < 4 and any("#q6_k" in name for name, *_ in entries):
+        if version < _VERSION and any(
+                "#q6_k" in name for name, *_ in entries):
             raise ValueError(
                 f"{path} is a v{version} container holding q6_k tensors; "
                 "the q6_k qh packing changed in v4 (same shape, different "

@@ -284,6 +284,33 @@ def test_q6_chunk_kernel_matvec(rng):
     assert_close(got, want, atol=5e-4, rtol=5e-4, name="q6_k chunk matvec")
 
 
+@pytest.mark.parametrize("k", [4096, 8192])
+def test_q6_hybrid_kernel_matvec(rng, k):
+    """K % 4096 == 0 routes to the segment-local hybrid kernel (int8 MXU
+    nibble dots + exact VPU 2-bit fold). The nibble activations are
+    int8-quantized per scale block, so tolerance matches the q4 x_quant8
+    class, not the exact-f32 chunk6 kernel."""
+    n = 256
+    w = (rng.normal(size=(n, k)) / np.sqrt(k)).astype(np.float32)
+    t = quant_ref.quantize_q6_k(w)
+    ql = qm.from_oracle(t)
+    x = rng.normal(size=(1, k)).astype(np.float32)
+    got = np.asarray(qm.qmatmul(jnp.asarray(x), ql))
+    want = x @ _device_dequant_ref("q6_k", t).T
+    denom = max(1e-6, float(np.abs(want).max()))
+    rel = float(np.abs(got - want).max()) / denom
+    assert rel < 2e-2, rel
+
+
+def test_q6_dequant_roundtrip_seg_layout(rng):
+    """dequantize_jnp must invert the segment-local lane order exactly."""
+    n, k = 64, 4096
+    w = (rng.normal(size=(n, k)) / np.sqrt(k)).astype(np.float32)
+    t = quant_ref.quantize_q6_k(w)
+    got = np.asarray(qm.dequantize_jnp(qm.from_oracle(t)))
+    assert np.array_equal(got, _device_dequant_ref("q6_k", t))
+
+
 @pytest.mark.parametrize("batch", [1, 4])
 def test_q6_x_prepermuted(rng, batch):
     """q6_k must honor x_prepermuted (cfg.hperm feeds x in the q4-class
