@@ -862,6 +862,20 @@ def _chunk6h_kernel(ea_ref, eb_ref, xq_ref, sc_ref, qs_ref, qh_ref,
     for rows in splits:
         p = qs_ref[r0:r0 + rows, :]                   # [rows, KH] int8
         lo = p & 0x0F
+        # VPU 2-bit chain first in program order: the hybrid's first
+        # measurement showed the dots and this chain NOT overlapping
+        # (their costs added exactly) — issue the independent VPU work
+        # before the MXU dots so the scheduler can interleave
+        u = qh_ref[r0:r0 + rows, :].astype(jnp.float32)   # [rows, kq]
+        u_hi = jnp.floor(u * 0.0625 + 8.0)                # h2 + 4*h3
+        u_lo = u + 128.0 - 16.0 * u_hi                    # h0 + 4*h1
+        h1 = jnp.floor(u_lo * 0.25)
+        h0 = u_lo - 4.0 * h1
+        h3 = jnp.floor(u_hi * 0.25)
+        h2 = u_hi - 4.0 * h3
+        t2a = h0 * xq_ref[0:1, :] + h2 * xq_ref[2:3, :]   # -> blk(i2)
+        t2b = h1 * xq_ref[1:2, :] + h3 * xq_ref[3:4, :]   # -> blk(i2+kq)
+
         z1s, z2s = [], []
         for s in range(n_segs):
             sl = slice(s * csz, (s + 1) * csz)
@@ -873,16 +887,6 @@ def _chunk6h_kernel(ea_ref, eb_ref, xq_ref, sc_ref, qs_ref, qh_ref,
                 preferred_element_type=jnp.int32))
         z1 = jnp.concatenate(z1s, axis=1).astype(jnp.float32)
         z2 = jnp.concatenate(z2s, axis=1).astype(jnp.float32)
-
-        u = qh_ref[r0:r0 + rows, :].astype(jnp.float32)   # [rows, kq]
-        u_hi = jnp.floor(u * 0.0625 + 8.0)                # h2 + 4*h3
-        u_lo = u + 128.0 - 16.0 * u_hi                    # h0 + 4*h1
-        h1 = jnp.floor(u_lo * 0.25)
-        h0 = u_lo - 4.0 * h1
-        h3 = jnp.floor(u_hi * 0.25)
-        h2 = u_hi - 4.0 * h3
-        t2a = h0 * xq_ref[0:1, :] + h2 * xq_ref[2:3, :]   # -> blk(i2)
-        t2b = h1 * xq_ref[1:2, :] + h3 * xq_ref[3:4, :]   # -> blk(i2+kq)
 
         def fold2(t):                  # [rows, kq] -> [rows, nsh*128]
             parts = []
