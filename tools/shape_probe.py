@@ -27,6 +27,8 @@ ap.add_argument("--i1", type=int, default=32)
 ap.add_argument("--i2", type=int, default=128)
 ap.add_argument("--reps", type=int, default=5)
 ap.add_argument("--preprep", action="store_true")
+ap.add_argument("--kseg0", action="store_true",
+                help="disable the grid-segmented K dispatch (A/B control)")
 args = ap.parse_args()
 
 if args.cpu:
@@ -38,6 +40,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ggml_cuda_experiments_tpu.ops import quant_matmul as qm
+
+if args.kseg0:
+    qm.CHUNK8_KSEG = False
 from ggml_cuda_experiments_tpu.utils.device_info import chip_spec
 
 SHAPES = {"wqkv": (12288, 4096), "wo": (4096, 4096),
@@ -154,7 +159,7 @@ def probe(name, N, K, bn, preprep=False):
     per = (ts[args.i2] - ts[args.i1]) / (args.i2 - args.i1)
     gbs = ql.nbytes / per / 1e9
     pct = 100 * gbs / (chip_spec().hbm_bytes_per_s / 1e9)
-    plan = qm.chunk8_plan(N, K, bn)
+    plan = qm.chunk8_plan(N, K, bn, kseg=qm.CHUNK8_KSEG)
     log(f"{name:6s}{' [preprep]' if preprep else '':10s} N={N:6d} "
         f"K={K:6d} bn={plan['bn']:5d} "
         f"grid={plan['grid']:2d} splits={len(plan['splits'])}x: "
