@@ -1528,68 +1528,6 @@ def _chunk8_kernel(*refs, fmt: str, n_segs: int = 1,
 #               drain at the end of each grid step shrinks to one subtile).
 CHUNK8_FOLD = "subtile"
 
-# Segmented-K (K > 4096) B=1 dispatch: put the CONTRACTION on the grid.
-# The fused-window design (one [bn, K/2] byte window per step, in-kernel
-# per-segment dot loop) peaked at 79.7% of the roofline at (4096, 12288)
-# with bn capped at 1024 (r4 sweep: 512 -> 68.8, 1024 -> 79.7, 2048 ->
-# 69.3) — the wide-K window forces small row tiles AND each grid step
-# drains a 3x-longer unpack/dot chain. With the contraction on a minor
-# grid axis, each (n, s) step streams row tile n of SEGMENT s only:
-# window bytes, selector shape and dot geometry become IDENTICAL to the
-# K=4096 family that sustains ~86%, and the revisited output block
-# accumulates across s in VMEM. A/B'd in-session via this flag
-# (tools/shape_probe.py --kseg0).
-CHUNK8_KSEG = True
-
-
-def _chunk8_kseg_kernel(ea_ref, eb_ref, sc_ref, qs_ref, s1_ref, s2_ref,
-                        o_ref, *, fmt: str, splits: tuple[int, ...]):
-    """Grid-segmented chunk8 body: one (row-tile, K-segment) step.
-
-    Operand windows arrive pre-sliced to the segment (payload
-    [bn, K/(2*segs)], scales/selector/activation constants at that
-    segment's 128 block columns), so the body is exactly the n_segs == 1
-    compute; the only addition is the accumulate-vs-init store on the
-    revisited output block (minor grid axis s, same (0, n) output index,
-    so the block stays resident in VMEM across the s sweep)."""
-    first = pl.program_id(1) == 0
-    if CHUNK8_STREAM_ONLY:                    # measurement-only (see flag)
-        y = (jnp.sum(qs_ref[:, :128].astype(jnp.float32), axis=1)
-             + jnp.sum(s1_ref[...].astype(jnp.float32), axis=1)
-             + jnp.sum(s2_ref[...].astype(jnp.float32), axis=1))[None, :]
-
-        @pl.when(first)
-        def _():
-            o_ref[...] = y
-
-        @pl.when(jnp.logical_not(first))
-        def _():
-            o_ref[...] += y
-        return
-    es = s1_ref[...].astype(jnp.float32)
-    em = 8.0 * es if fmt == "q4_0" else s2_ref[...].astype(jnp.float32)
-
-    def store(r0, rows, y):
-        @pl.when(first)
-        def _():
-            o_ref[0:1, pl.ds(r0, rows)] = y[None, :]
-
-        @pl.when(jnp.logical_not(first))
-        def _():
-            o_ref[0:1, pl.ds(r0, rows)] = (
-                o_ref[0:1, pl.ds(r0, rows)] + y[None, :])
-
-    res = _chunk8_compute(ea_ref, eb_ref, sc_ref[...], qs_ref, es, em,
-                          n_segs=1, splits=splits, store=store)
-    if res is not None:                       # CHUNK8_FOLD == "full"
-        @pl.when(first)
-        def _():
-            o_ref[...] = res
-
-        @pl.when(jnp.logical_not(first))
-        def _():
-            o_ref[...] += res
-
 
 def _store_row(o_ref, col0=0):
     """store(r0, rows, y[rows]) callback writing o_ref[0, col0+r0 : +rows]
@@ -1695,26 +1633,16 @@ def _quant_rows_blockwise(v, kb, n_segs=1):
 
 
 def chunk8_plan(N: int, K: int, block_n: int | None = None,
-                enc: str = "e", kseg: bool = False) -> dict:
+                enc: str = "e") -> dict:
     """Tile plan + VMEM-footprint estimate for the chunk8 q4 matvec — the
     analog of the reference's shared-memory-KB report
     (/root/reference/src/kernel_test.h:230-232): the bench rig prints
     these so tile/VMEM budgeting is visible, and the dispatch consumes
-    the same plan so the report cannot drift from reality.
-
-    ``kseg``: plan for the grid-segmented dispatch (_chunk8_kseg_kernel;
-    standalone B=1 only — the FUSED kernels keep their in-step segment
-    fold and must call with the default)."""
+    the same plan so the report cannot drift from reality."""
     kb = K // QK
     kh = K // 2
-    kseg = kseg and _n_segs(K) > 1
     if block_n is None:
-        if kseg:
-            # per-step window is [bn, K/(2*segs)] — same bytes as the
-            # K=4096 family — so the row cap returns to 4096; the s grid
-            # axis already provides >= segs steps of double-buffering
-            cap = min(4096, int(3.2e7) // _SEG // 128 * 128)
-        elif _n_segs(K) > 1:
+        if _n_segs(K) > 1:
             # segment-local K (e.g. 12288): with the round-4 subtile fold,
             # bn=1024 (grid 4, one subtile) measured best at (4096, 12288):
             # 48.2 us/iter 79.7% vs 55.8/68.8 at 512 and 55.5/69.3 at 2048
@@ -1747,12 +1675,10 @@ def chunk8_plan(N: int, K: int, block_n: int | None = None,
                 bn = -(-N // steps // 128) * 128      # minimize padding
         else:
             bn = N if N % 128 == 0 else -(-N // 128) * 128
-        if bn == N and N >= 2048 and not kseg:
-            # >= 2 grid steps for double-buffering; the kseg grid already
-            # has segs >= 2 steps on its minor axis
+        if bn == N and N >= 2048:
             half = N // 2
             bn = (half if half % 128 == 0
-                  else -(-N // 2 // 128) * 128)
+                  else -(-N // 2 // 128) * 128)       # >= 2 steps
     else:
         bn = block_n
     bn = min(bn, -(-N // 128) * 128)
@@ -1761,9 +1687,8 @@ def chunk8_plan(N: int, K: int, block_n: int | None = None,
     # raise Mosaic's scoped-VMEM limit (default ~16 MB) when the working
     # set needs it — v5e has 128 MB physical VMEM and the probes ran the
     # 4096-row tiles at a 100 MB cap without issue
+    vmem_limit = 100 * 2**20 if bn * K > 6.3e6 else None
     segs = _n_segs(K)
-    k_step = K // segs if kseg else K         # K contracted per grid step
-    vmem_limit = 100 * 2**20 if bn * k_step > 6.3e6 else None
     kb_sel = 128 if segs > 1 else kb
     # scale stream sized from the ACTUAL encoding (``enc``, from the
     # QuantLinear when dispatched): s6 streams int8 sc/mn [bn, kb] x2 +
@@ -1771,20 +1696,16 @@ def chunk8_plan(N: int, K: int, block_n: int | None = None,
     s6 = enc == "s6" and K % (128 * QK) == 0
     scale_bytes = (2 * (2 * bn * kb + 2 * bn * (K // 128))
                    if s6 else 2 * 2 * 2 * bn * kb)
-    khs = k_step // 2                         # payload bytes per step
-    kbs = 128 if kseg else kb                 # scale cols per step
     est = {
-        "payload (2 slots)": 2 * bn * khs,
+        "payload (2 slots)": 2 * bn * kh,
         ("scales sc/mn/dd (2 slots)" if s6 else
-         "scales es/em (2 slots)"): (scale_bytes if not kseg
-                                     else 2 * 2 * 2 * bn * kbs),
-        "selectors ea/eb": 2 * khs * kb_sel,
-        "lo subtile": max(splits) * khs,
-        "int32 partials": 2 * 4 * bn * kbs,
+         "scales es/em (2 slots)"): scale_bytes,
+        "selectors ea/eb": 2 * kh * kb_sel,
+        "lo subtile": max(splits) * kh,
+        "int32 partials": 2 * 4 * bn * kb,
         "activation consts": 4 * 4 * kb + 2 * bn * 4,
     }
-    return dict(bn=bn, Np=Np, splits=splits,
-                grid=(Np // bn) * (segs if kseg else 1), kseg=kseg,
+    return dict(bn=bn, Np=Np, splits=splits, grid=Np // bn,
                 vmem_limit=vmem_limit, vmem_est=est,
                 vmem_est_total=sum(est.values()))
 
@@ -1818,8 +1739,7 @@ def _qmatmul_chunk8(xp, ql, N, K, kb, block_n, out_dtype, interpret):
     s6 = ql.enc == "s6" and ql.fmt == "q4_k"
     fields = _fields(ql)
     kh = K // 2
-    plan = chunk8_plan(N, K, block_n, enc=ql.enc,
-                       kseg=CHUNK8_KSEG and not s6)
+    plan = chunk8_plan(N, K, block_n, enc=ql.enc)
     bn, Np, splits = plan["bn"], plan["Np"], plan["splits"]
     vmem_bytes = plan["vmem_limit"]
 
@@ -1844,39 +1764,6 @@ def _qmatmul_chunk8(xp, ql, N, K, kb, block_n, out_dtype, interpret):
     c = 8.0 * _block_sums(xh, kb, segs)
     xs = _block_sums(xl + xh, kb, segs)
     sc = jnp.stack([c, xs, sa, sb])                   # [4, Kb] f32
-    if plan["kseg"]:
-        # grid-segmented dispatch (see _chunk8_kseg_kernel): every operand
-        # window is the (row tile n, segment s) slice; the output block
-        # (0, n) is revisited across the minor s axis and accumulates
-        csz = kh // segs
-        cpk = dict(dimension_semantics=("arbitrary", "arbitrary"))
-        if vmem_bytes is not None:
-            cpk["vmem_limit_bytes"] = vmem_bytes
-        out = pl.pallas_call(
-            functools.partial(_chunk8_kseg_kernel, fmt=ql.fmt,
-                              splits=splits),
-            out_shape=jax.ShapeDtypeStruct((1, Np), jnp.float32),
-            grid=(Np // bn, segs),
-            in_specs=[
-                pl.BlockSpec((csz, 128), lambda n, s: (s, 0)),
-                pl.BlockSpec((csz, 128), lambda n, s: (s, 0)),
-                pl.BlockSpec((4, 128), lambda n, s: (0, s)),
-                pl.BlockSpec((bn, csz), lambda n, s: (n, s)),
-                pl.BlockSpec((bn, 128), lambda n, s: (n, s)),
-                pl.BlockSpec((bn, 128), lambda n, s: (n, s)),
-            ],
-            out_specs=pl.BlockSpec((1, bn), lambda n, s: (0, n)),
-            compiler_params=pltpu.CompilerParams(**cpk),
-            cost_estimate=pl.CostEstimate(
-                flops=2 * N * K,
-                bytes_accessed=sum(a_.size * a_.dtype.itemsize
-                                   for a_ in arrays) + K * 4 + Np * 4,
-                transcendentals=0),
-            interpret=interpret_default(interpret),
-        )(ea, eb, sc, arrays[0], arrays[1],
-          arrays[2] if len(arrays) > 2 else arrays[1])
-        return out[:, :N].astype(out_dtype)
-
     cp = dict(dimension_semantics=("arbitrary",))
     if vmem_bytes is not None:
         cp["vmem_limit_bytes"] = vmem_bytes

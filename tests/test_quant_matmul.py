@@ -435,30 +435,6 @@ def test_segment_layout_all_paths(rng, k, path):
     assert err < tol * scale, f"{path} K={k}: err {err} vs scale {scale}"
 
 
-def test_chunk8_kseg_matches_fused_window(rng):
-    """The grid-segmented chunk8 dispatch (CHUNK8_KSEG, the standalone
-    B=1 path for K > 4096) is the in-step-fold dispatch re-associated:
-    same int8 dots and scale folds, only the segment accumulation order
-    changes — so the two agree to f32 summation-order tolerance."""
-    n, k = 512, 12288
-    for fmt in ("q4_k", "q4_0"):
-        w = (rng.normal(size=(n, k)) / np.sqrt(k)).astype(np.float32)
-        ql = qm.from_oracle(quant_ref.FORMATS[fmt][0](w))
-        x = jnp.asarray(rng.normal(size=(1, k)).astype(np.float32))
-        assert qm.CHUNK8_KSEG            # default ON
-        y_new = np.asarray(qm.qmatmul(x, ql, use_vpu=True, x_quant8=True))
-        try:
-            qm.CHUNK8_KSEG = False
-            qm.qmatmul.clear_cache()
-            y_old = np.asarray(
-                qm.qmatmul(x, ql, use_vpu=True, x_quant8=True))
-        finally:
-            qm.CHUNK8_KSEG = True
-            qm.qmatmul.clear_cache()
-        scale = np.abs(y_old).max()
-        assert np.abs(y_new - y_old).max() < 1e-5 * scale, fmt
-
-
 @pytest.mark.parametrize("kd", [4096, 8192])
 def test_mlp_fused_matches_unfused(rng, kd):
     """Fused silu-MLP kernel (one Pallas call: w_gu matvec -> silu*mul ->
@@ -596,14 +572,7 @@ def test_plans_zero_pad_for_model_shapes():
     # benched shapes keep their measured-optimal plans (segmented-K cap
     # raised to 1024 by the round-4 subtile fold: 79.7% vs 68.8 at 512)
     assert chunk8_plan(32768, 4096)["bn"] == 4096
-    # default (fused-kernel) plan for segmented K keeps the in-step fold
-    # geometry; the standalone B=1 dispatch plans with kseg=True (grid
-    # over K segments, row cap back at 4096 — see _chunk8_kseg_kernel)
     assert chunk8_plan(4096, 12288)["bn"] == 1024
-    pk = chunk8_plan(4096, 12288, kseg=True)
-    assert pk["bn"] == 4096 and pk["grid"] == 3 and pk["kseg"]
-    # kseg is inert at K <= 4096 (single segment)
-    assert not chunk8_plan(32768, 4096, kseg=True)["kseg"]
     # helper contract: only 128-multiple N; tiered fallback below
     assert _bn_no_pad(32000, 4096) == 3200
     assert _bn_no_pad(32001, 4096) == 0

@@ -9,6 +9,14 @@ wo (4096, 4096), w_gu (24576, 4096), w_down (4096, 12288).
 
 Usage: python tools/shape_probe.py [--shapes wqkv,wo,wgu,wdown]
        [--bns auto,512,1024,2048,4096]
+
+Signal sizing (round 5): the old defaults (i1=32, i2=128) put only
+~5-12 ms of marginal signal against the rig's +-10 ms tunnel jitter —
+on a noisy day they read the SAME binary 35% low while bench.py's
+interleaved-pair protocol read normal. Defaults now carry >= 150 ms of
+marginal signal per CLAUDE.md's protocol rule; treat cross-session
+absolute numbers as tenancy-relative regardless (always re-run the
+unchanged reference config in-session).
 """
 
 import argparse
@@ -23,12 +31,10 @@ ap = argparse.ArgumentParser()
 ap.add_argument("--cpu", action="store_true")
 ap.add_argument("--shapes", default="wqkv,wo,wgu,wdown")
 ap.add_argument("--bns", default="auto,512,1024,2048,4096")
-ap.add_argument("--i1", type=int, default=32)
-ap.add_argument("--i2", type=int, default=128)
+ap.add_argument("--i1", type=int, default=128)
+ap.add_argument("--i2", type=int, default=2048)
 ap.add_argument("--reps", type=int, default=5)
 ap.add_argument("--preprep", action="store_true")
-ap.add_argument("--kseg0", action="store_true",
-                help="disable the grid-segmented K dispatch (A/B control)")
 args = ap.parse_args()
 
 if args.cpu:
@@ -40,9 +46,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ggml_cuda_experiments_tpu.ops import quant_matmul as qm
-
-if args.kseg0:
-    qm.CHUNK8_KSEG = False
 from ggml_cuda_experiments_tpu.utils.device_info import chip_spec
 
 SHAPES = {"wqkv": (12288, 4096), "wo": (4096, 4096),
@@ -159,7 +162,7 @@ def probe(name, N, K, bn, preprep=False):
     per = (ts[args.i2] - ts[args.i1]) / (args.i2 - args.i1)
     gbs = ql.nbytes / per / 1e9
     pct = 100 * gbs / (chip_spec().hbm_bytes_per_s / 1e9)
-    plan = qm.chunk8_plan(N, K, bn, kseg=qm.CHUNK8_KSEG)
+    plan = qm.chunk8_plan(N, K, bn)
     log(f"{name:6s}{' [preprep]' if preprep else '':10s} N={N:6d} "
         f"K={K:6d} bn={plan['bn']:5d} "
         f"grid={plan['grid']:2d} splits={len(plan['splits'])}x: "
