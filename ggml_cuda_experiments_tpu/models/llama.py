@@ -271,6 +271,16 @@ def _xla_decode_attention(q: jax.Array, cache: "KVCache", li,
 # A/B lever for tests/probes; the shape gate lives in _attention_block.
 PREFILL_FUSE_ROPE = True
 
+# No fused prefill MLP: both designs measured and lost (round 5 — see
+# PERF.md "TTFT r5"): alternating gate/up steps with pl.when epilogues
+# hit the three-fat-bodies Mosaic serialization (1.31 ms/layer vs the
+# two-call path's 0.87-0.95); the unbranched rewrite (gate+up windows
+# per step, silu fused into the resident mid scratch) recovered to
+# 1.04-1.13 — still neutral-to-worse, because the saved [T, Ng]+[T, Kd]
+# HBM round trip (~90 us) is repaid by the w_down phase's serialized
+# start behind the whole phase-A scratch chain. Two pipelined calls +
+# XLA glue stay the prefill MLP path.
+
 
 def _attention_block(layer: Params, cfg: ModelConfig, h: jax.Array,
                      cache: "KVCache", li, positions, *, decode: bool,

@@ -2168,7 +2168,13 @@ def _qmatmul_pipelined(xp, ql, B, N, K, kb, block_n, out_dtype, interpret):
         # ~16 MB; v5e has 128 MB — same fix as chunk8_plan). Bigger tiles
         # amortize per-step cost and improve MXU shapes for TTFT.
         budget = int((60_000_000 - 2 * B * K) // (9 * K))
-        block_n = max(128, min(1024, budget // 128 * 128))
+        cap = max(128, min(1024, budget // 128 * 128))
+        # ZERO-pad tilings first (chunk8_plan's rule): an N % bn != 0
+        # dispatch jnp.pads the ENTIRE weight inside the jit, re-copying
+        # the full quantized payload every call — the 7B prefill w_down
+        # [4096, 12288] drew bn=384 -> Np=4224 from the bare budget cap,
+        # a ~30 MB copy per layer per prefill (~2 ms of TTFT, r5)
+        block_n = _bn_no_pad(N, cap, min_bn=128) or cap
     bn = min(block_n, N)
     Np = -(-N // bn) * bn
     vmem_bytes = (100 * 2**20
